@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""BENCH harness: headline engine jobs at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Measured jobs (protocol per BASELINE.md):
+  q_encode            synthetic sequences (deterministic, sf-scaled) -> encode
+                      -> write encoded parquet (the reference's js2pq path)
+  q_decode_verify     read encoded -> decode -> exact-equality verify
+                      (the reference's parqbench --use-data path)
+  q_encode_docs       tokenize the sf documents table -> encode -> count
+  q_token_stats       oracle-style token stats over the tokenized docs
+
+Extras reported: encode tokens/sec, engine-vs-reference compressed bytes for
+the token payload (reference config = plain list<int32> column, ZSTD +
+dictionary, mirroring /root/reference/src/bin/js2pq/main.rs:91-99).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.environ.get("SPARK_GRAFT_CACHE", "/tmp/spark_graft_cache")
+
+# synthetic rows scaled to sf: sf0.1 -> 200k rows (~29M tokens)
+_SF_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def parquet_column_bytes(path: str, column: str) -> int:
+    """Total compressed bytes of one column across a parquet dir/file."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    paths = []
+    p = Path(path)
+    if p.is_dir():
+        paths = [str(f) for f in p.rglob("*.parquet")]
+    else:
+        paths = [str(p)]
+    for f in paths:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema.split(".")[0] == column:
+                    total += col.total_compressed_size
+    return total
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.operators import encode as enc
+    from parquet_playground_rs_spark.session import get_spark
+    from parquet_playground_rs_spark.sources.generator import write_sequences
+    from parquet_playground_rs_spark.sources.tokenizer import tokenize_documents
+
+    n_rows = _SF_ROWS.get(sf_name(), 200_000)
+    spark = get_spark(app=f"bench-{sf_name()}", cores=CPUS,
+                      shuffle_partitions=CPUS, driver_mem="48g")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- setup (not timed): deterministic synthetic input, cached on disk
+    seq_path = os.path.join(CACHE, f"sequences_{sf_name()}_{n_rows}")
+    if not os.path.exists(os.path.join(seq_path, "_SUCCESS")):
+        write_sequences(spark, n_rows, seq_path, seed=42, partitions=CPUS * 4)
+    seq = spark.read.parquet(seq_path)
+    total_tokens = seq.agg(F.sum("n_tok")).first()[0]
+
+    out_dir = os.path.join(CACHE, f"encoded_{sf_name()}_{CPUS}")
+
+    # ---- q_encode: the reference encode path, distributed
+    t0 = time.time()
+    encoded = enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK)
+    encoded.write.mode("overwrite").parquet(out_dir)
+    timings["q_encode"] = time.time() - t0
+    extra["encode_tokens_per_sec"] = round(total_tokens / timings["q_encode"], 1)
+    extra["total_tokens"] = int(total_tokens)
+
+    # ---- q_decode_verify: read back, decode, exact equality
+    t0 = time.time()
+    decoded = dec.decode_tokens(spark.read.parquet(out_dir))
+    verdict = dec.verify_roundtrip(seq, decoded).first()
+    timings["q_decode_verify"] = time.time() - t0
+    extra["n_mismatch"] = int(verdict["n_mismatch"])
+    extra["decode_verify_tokens_per_sec"] = round(
+        total_tokens / timings["q_decode_verify"], 1)
+
+    # ---- compression vs reference-config parquet (zstd + dict, plain col)
+    ref_dir = os.path.join(CACHE, f"reference_parquet_{sf_name()}")
+    if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):
+        (seq.write.mode("overwrite")
+         .option("parquet.enable.dictionary", "true")
+         .option("compression", "zstd").parquet(ref_dir))
+    ref_bytes = parquet_column_bytes(ref_dir, "tokens")
+    eng_bytes = parquet_column_bytes(out_dir, "block")
+    extra["reference_tokens_col_bytes"] = ref_bytes
+    extra["engine_block_col_bytes"] = eng_bytes
+    extra["compression_vs_reference"] = round(eng_bytes / ref_bytes, 4)
+
+    # ---- q_encode_docs: real sf documents end-to-end
+    t0 = time.time()
+    docs_seq = tokenize_documents(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    enc.encode_tokens(docs_seq, chunk_size=enc.DEFAULT_CHUNK) \
+        .agg(F.sum("meta.output_bytes")).first()
+    timings["q_encode_docs"] = time.time() - t0
+
+    # ---- q_token_stats: oracle-style analysis query
+    t0 = time.time()
+    docs_seq.groupBy("source").agg(
+        F.count("*"), F.sum("n_tok"), F.max("n_tok")).collect()
+    timings["q_token_stats"] = time.time() - t0
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "engine_bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_name(),
+        "cpus": CPUS,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Decode operator: codec blocks -> tokens, plus round-trip verification.
+
+The Spark twin of the reference's columnar read path (`parqbench`
+columnar reader + per-value checksum, /root/reference/src/bin/parqbench/
+main.rs:276-333, :113-169): blocks stream through ``mapInArrow``, the
+numpy kernels reverse each codec, chunked documents re-assemble by
+(doc_id, chunk_idx), and `verify_roundtrip` asserts exact array<int32>
+equality against the source table (the reference's decode(encode(x))==x
+discipline, src/vec_pq_reader.rs:821-831, made distributed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import kernels
+
+DECODED_DDL = (
+    "doc_id string, source string, chunk_idx int, n_chunks int, tokens array<int>"
+)
+
+_DECODED_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("source", pa.string()),
+        pa.field("chunk_idx", pa.int32()),
+        pa.field("n_chunks", pa.int32()),
+        pa.field("tokens", pa.list_(pa.int32())),
+    ]
+)
+
+
+def decode_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """Decode one Arrow batch of encoded blocks back to token arrays."""
+    blocks = batch.column("block")
+    n = batch.num_rows
+    arrays: list[np.ndarray] = []
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        arr = kernels.decode(blocks[i].as_buffer())
+        arrays.append(arr)
+        offsets[i + 1] = offsets[i] + arr.size
+    values = np.concatenate(arrays) if arrays else np.empty(0, dtype=np.int32)
+    if offsets[-1] > 2**31 - 1:  # an Arrow batch never carries >2^31 values
+        raise ValueError("batch too large for int32 list offsets")
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("doc_id"),
+            batch.column("source"),
+            batch.column("chunk_idx"),
+            batch.column("n_chunks"),
+            tokens,
+        ],
+        schema=_DECODED_ARROW_SCHEMA,
+    )
+
+
+def decode_blocks(encoded: DataFrame) -> DataFrame:
+    """Per-chunk decode (no reassembly)."""
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows:
+                yield decode_arrow_batch(batch)
+
+    cols = ["doc_id", "source", "chunk_idx", "n_chunks", "block"]
+    return encoded.select(*cols).mapInArrow(mapper, DECODED_DDL)
+
+
+def decode_tokens(encoded: DataFrame) -> DataFrame:
+    """Decode + reassemble chunked documents.
+
+    Single-chunk documents (the vast majority) bypass the shuffle entirely;
+    only skew-split documents pay the groupBy — the scale-sensitive choice,
+    since a blanket collect_list over 10^12 rows would shuffle everything.
+
+    Output: (doc_id string, source string, tokens array<int>, n_tok int)
+    """
+    decoded = decode_blocks(encoded)
+    single = decoded.filter(F.col("n_chunks") == 1).select(
+        "doc_id", "source", "tokens"
+    )
+    multi = (
+        decoded.filter(F.col("n_chunks") > 1)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+    )
+    out = single.unionByName(multi)
+    return out.withColumn("n_tok", F.size("tokens").cast("int"))
+
+
+def verify_roundtrip(source_df: DataFrame, decoded_df: DataFrame) -> DataFrame:
+    """Join on doc_id and compare token arrays exactly.
+
+    Returns a one-row DataFrame (n_source, n_decoded, n_joined, n_mismatch);
+    a correct engine yields n_mismatch == 0 and all counts equal.
+    """
+    s = source_df.select(F.col("doc_id"), F.col("tokens").alias("tokens_src"))
+    d = decoded_df.select(F.col("doc_id"), F.col("tokens").alias("tokens_dec"))
+    joined = s.join(d, "doc_id", "full_outer")
+    return joined.agg(
+        F.count("tokens_src").alias("n_source"),
+        F.count("tokens_dec").alias("n_decoded"),
+        F.sum(
+            F.when(F.col("tokens_src").isNotNull() & F.col("tokens_dec").isNotNull(), 1).otherwise(0)
+        ).alias("n_joined"),
+        F.sum(
+            F.when(
+                F.col("tokens_src").isNull()
+                | F.col("tokens_dec").isNull()
+                | (F.col("tokens_src") != F.col("tokens_dec")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    )

@@ -1,0 +1,177 @@
+"""Encode operator: tokens -> codec blocks, as a vectorized Arrow map.
+
+Spark-first layout of the reference's encode path (`js2pq`,
+/root/reference/src/bin/js2pq/main.rs:46-131): where the reference reads one
+whole file into one RecordBatch single-threaded, here Arrow batches stream
+through ``mapInArrow`` tasks; Catalyst handles scan/pruning, the kernels
+(functions/kernels.py) do the per-block compression, and the Parquet/ZSTD
+sink provides the general-purpose layer (the reference's
+`Compression::ZSTD(3)`, main.rs:91).
+
+Skew handling (new-engine requirement, no reference analog): long-tail
+documents are split into fixed-size chunks *before* encoding with
+JVM-side `slice`/`posexplode`, so no single Python batch ever holds a
+pathological row; chunks re-assemble at decode via (doc_id, chunk_idx).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import kernels, selector
+
+DEFAULT_CHUNK = 16384          # tokens per encoded block for skew-split rows
+DEFAULT_SALT_BUCKETS = 1024    # salt space for the repartition key
+
+META_FIELDS = [
+    ("n_tok", pa.int32()),
+    ("min_val", pa.int64()),
+    ("max_val", pa.int64()),
+    ("n_unique", pa.int32()),
+    ("n_runs", pa.int32()),
+    ("bit_width", pa.int32()),
+    ("dict_size", pa.int32()),
+    ("input_bytes", pa.int64()),
+    ("output_bytes", pa.int64()),
+]
+
+ENCODED_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("source", pa.string()),
+        pa.field("chunk_idx", pa.int32()),
+        pa.field("n_chunks", pa.int32()),
+        pa.field("codec", pa.string()),
+        pa.field("block", pa.binary()),
+        pa.field("meta", pa.struct(META_FIELDS)),
+    ]
+)
+
+ENCODED_DDL = (
+    "doc_id string, source string, chunk_idx int, n_chunks int, codec string, "
+    "block binary, meta struct<n_tok:int, min_val:bigint, max_val:bigint, "
+    "n_unique:int, n_runs:int, bit_width:int, dict_size:int, "
+    "input_bytes:bigint, output_bytes:bigint>"
+)
+
+
+def list_to_numpy(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """ListArray -> (int32 values, int64 row offsets), zero-copy where possible."""
+    if arr.null_count:
+        raise ValueError("tokens column must not contain null rows")
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(pa.int32()))
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.values.to_numpy(zero_copy_only=False)
+    if values.dtype != np.dtype("<i4"):
+        values = kernels.as_int32(values)
+    return values, offsets
+
+
+def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.RecordBatch:
+    """Encode one Arrow batch of (doc_id, source, chunk_idx, n_chunks, tokens)."""
+    values, offsets = list_to_numpy(batch.column("tokens"))
+    n = batch.num_rows
+
+    blobs: list[bytes] = []
+    codecs: list[str] = []
+    meta_cols = {name: np.zeros(n, dtype=np.int64) for name, _ in META_FIELDS}
+
+    for i in range(n):
+        row = values[offsets[i]: offsets[i + 1]]
+        blob, codec, stats = selector.encode_auto(row, enable_fsst=enable_fsst)
+        blobs.append(blob)
+        codecs.append(codec)
+        meta_cols["n_tok"][i] = stats.n
+        meta_cols["min_val"][i] = stats.min_val
+        meta_cols["max_val"][i] = stats.max_val
+        meta_cols["n_unique"][i] = stats.n_unique
+        meta_cols["n_runs"][i] = stats.n_runs
+        meta_cols["bit_width"][i] = stats.bit_width
+        meta_cols["dict_size"][i] = stats.n_unique if codec == "dict" else 0
+        meta_cols["input_bytes"][i] = 4 * stats.n
+        meta_cols["output_bytes"][i] = len(blob)
+
+    meta = pa.StructArray.from_arrays(
+        [pa.array(meta_cols[name], type=typ) for name, typ in META_FIELDS],
+        fields=[pa.field(name, typ) for name, typ in META_FIELDS],
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column("doc_id"),
+            batch.column("source"),
+            batch.column("chunk_idx"),
+            batch.column("n_chunks"),
+            pa.array(codecs, type=pa.string()),
+            pa.array(blobs, type=pa.binary()),
+            meta,
+        ],
+        schema=ENCODED_ARROW_SCHEMA,
+    )
+
+
+def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
+    """Chunk long-tail documents JVM-side; output one row per chunk.
+
+    Short rows (the overwhelming majority) keep chunk_idx=0, n_chunks=1 and
+    never pay the explode.
+    """
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.col("n_tok") / F.lit(chunk_size))
+    ).cast("int")
+    short = df.filter(F.col("n_tok") <= chunk_size).select(
+        "doc_id", "source",
+        F.lit(0).alias("chunk_idx"), F.lit(1).alias("n_chunks"),
+        "tokens",
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.slice(F.col("tokens"), c * chunk_size + 1, chunk_size),
+    )
+    long = (
+        df.filter(F.col("n_tok") > chunk_size)
+        .select("doc_id", "source", n_chunks.alias("n_chunks"),
+                F.posexplode(chunks).alias("chunk_idx", "tokens"))
+        .select("doc_id", "source", "chunk_idx", "n_chunks", "tokens")
+    )
+    return short.unionByName(long)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Deterministic salted repartition on (source, hash(doc_id), chunk_idx).
+
+    The salt is derived from the data (xxhash64), never from randomness, so
+    re-runs land identical rows in identical buckets — required for the
+    resumable manifests (plans/pipeline.py).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col("source"), F.col("doc_id"), F.col("chunk_idx")),
+        F.lit(salt_buckets),
+    )
+    return df.repartition(num_partitions, salt)
+
+
+def encode_tokens(df: DataFrame, chunk_size: int = DEFAULT_CHUNK,
+                  num_partitions: int | None = None,
+                  enable_fsst: bool = True) -> DataFrame:
+    """Full encode operator: skew split -> salted repartition -> Arrow encode.
+
+    Input:  (doc_id string, tokens array<int>, n_tok int, source string)
+    Output: ENCODED_DDL rows, one per (doc_id, chunk_idx).
+    """
+    chunked = split_skew(df, chunk_size)
+    if num_partitions:
+        chunked = salted_repartition(chunked, num_partitions)
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows:
+                yield encode_arrow_batch(batch, enable_fsst=enable_fsst)
+
+    return chunked.mapInArrow(mapper, ENCODED_DDL)

@@ -1,0 +1,114 @@
+"""End-to-end Spark round-trip: generate -> encode -> decode -> exact equality.
+
+The distributed version of the reference's write-then-read-back equality
+suite (/root/reference/src/vec_pq_reader.rs:821-880), including the
+chunk-boundary discipline: runs at several Arrow batch sizes and partition
+counts, plus through a real Parquet write/read of the encoded table.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_playground_rs_spark.operators import decode as dec
+from parquet_playground_rs_spark.operators import encode as enc
+from parquet_playground_rs_spark.sources.generator import sequences_df
+
+N_ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def seq(spark):
+    df = sequences_df(spark, N_ROWS, seed=42, partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_generator_shape_and_determinism(spark, seq):
+    assert seq.schema.simpleString() == (
+        "struct<doc_id:string,tokens:array<int>,n_tok:int,source:string>"
+    )
+    assert seq.count() == N_ROWS
+    # n_tok always equals size(tokens)
+    bad = seq.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+    # deterministic across parallelism levels
+    a = {r["doc_id"]: r["tokens"] for r in seq.collect()}
+    b = {r["doc_id"]: r["tokens"]
+         for r in sequences_df(spark, N_ROWS, seed=42, partitions=13).collect()}
+    assert a == b
+    # covers empties and long-tail rows
+    assert seq.filter(F.col("n_tok") == 0).count() > 0
+    assert seq.filter(F.col("n_tok") > 1000).count() > 0
+    # int32 bounds actually exercised
+    mm = seq.select(F.min(F.array_min("tokens")), F.max(F.array_max("tokens"))).first()
+    assert mm[0] == -(2**31) and mm[1] == 2**31 - 1
+
+
+def test_roundtrip_exact(spark, seq):
+    encoded = enc.encode_tokens(seq, chunk_size=512, num_partitions=8)
+    decoded = dec.decode_tokens(encoded)
+    res = dec.verify_roundtrip(seq, decoded).first()
+    assert res["n_mismatch"] == 0
+    assert res["n_source"] == res["n_decoded"] == res["n_joined"] == N_ROWS
+
+
+@pytest.mark.parametrize("batch_size", [1, 7, 100, 10000])
+def test_roundtrip_across_arrow_batch_sizes(spark, seq, batch_size):
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    try:
+        encoded = enc.encode_tokens(seq, chunk_size=256)
+        res = dec.verify_roundtrip(seq, dec.decode_tokens(encoded)).first()
+        assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_roundtrip_through_parquet(spark, seq, tmp_path):
+    """Encoded table survives a real partitioned Parquet write/read."""
+    out = str(tmp_path / "encoded")
+    enc.encode_tokens(seq, chunk_size=512).write.partitionBy("source").parquet(out)
+    encoded = spark.read.parquet(out)
+    res = dec.verify_roundtrip(seq, dec.decode_tokens(encoded)).first()
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+
+
+def test_skew_split_chunks_longtail(spark, seq):
+    chunked = enc.split_skew(seq, chunk_size=512)
+    # every chunk obeys the size cap
+    assert chunked.filter(F.size("tokens") > 512).count() == 0
+    # chunk sizes reassemble to the original n_tok
+    sizes = (
+        chunked.groupBy("doc_id").agg(F.sum(F.size("tokens")).alias("s"))
+        .join(seq.select("doc_id", "n_tok"), "doc_id")
+        .filter(F.col("s") != F.col("n_tok"))
+    )
+    assert sizes.count() == 0
+    # a long doc actually split
+    assert chunked.filter(F.col("n_chunks") > 1).count() > 0
+
+
+def test_compression_beats_plain(spark, seq):
+    encoded = enc.encode_tokens(seq, chunk_size=512).cache()
+    agg = encoded.agg(
+        F.sum("meta.input_bytes").alias("inb"),
+        F.sum("meta.output_bytes").alias("outb"),
+    ).first()
+    assert agg["outb"] < agg["inb"]  # net win across the mixed workload
+    # every codec family appears on this workload
+    codecs = {r["codec"] for r in encoded.select("codec").distinct().collect()}
+    assert {"plain", "rle", "dict", "bitpack", "fordelta"} <= codecs
+    encoded.unpersist()
+
+
+def test_verify_catches_corruption(spark, seq):
+    """Negative control: a corrupted decode must be flagged."""
+    encoded = enc.encode_tokens(seq, chunk_size=512)
+    decoded = dec.decode_tokens(encoded).withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == "doc_000000000003",
+               F.array(F.lit(999))).otherwise(F.col("tokens")),
+    )
+    res = dec.verify_roundtrip(seq, decoded).first()
+    assert res["n_mismatch"] >= 1
