@@ -321,6 +321,258 @@ FROM fp GROUP BY source ORDER BY source
 """
 
 
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-token + punctuation counters (token-counting op) per source."""
+    from parquet_playground_rs_spark.functions import text as T
+
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "source",
+        T.n_subword_tokens("text").alias("nt"),
+        T.punct_count("text").alias("pc"),
+        T.n_words("text").alias("nw"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("nt").cast("long").alias("sum_subword_tokens"),
+            F.sum("pc").cast("long").alias("sum_punct"),
+            F.sum("nw").cast("long").alias("sum_words"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_TEXT_FEATURES_SQL = r"""
+WITH per AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS nt,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS pc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  FROM documents
+)
+SELECT source,
+       CAST(sum(nt) AS BIGINT) AS sum_subword_tokens,
+       CAST(sum(pc) AS BIGINT) AS sum_punct,
+       CAST(sum(nw) AS BIGINT) AS sum_words
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic histogram: predicted lang x count."""
+    from parquet_playground_rs_spark.functions import text as T
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(T.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def _lang_cnt_sql(lang: str, markers: list[str]) -> str:
+    marks = ", ".join(f"'{m}'" for m in markers)
+    return (f"CAST(len(list_filter(string_split(text, ' '), "
+            f"x -> x IN ({marks}))) AS BIGINT) AS {lang}_cnt")
+
+
+def _build_lang_id_sql() -> str:
+    from parquet_playground_rs_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)  # alphabetical = the tie-break order
+    cnts = ",\n         ".join(
+        _lang_cnt_sql(lang, LANG_MARKERS[lang]) for lang in langs)
+    best = "greatest(" + ", ".join(f"{lang}_cnt" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {lang}_cnt = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH per AS (
+  SELECT {cnts}
+  FROM documents
+)
+SELECT {case} AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (>= 0.8) over documents."""
+    from parquet_playground_rs_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    sh = dedup.word_shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.8)
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("inter").cast("long").alias("sum_inter"),
+        F.sum("size_a").cast("long").alias("sum_size_a"),
+        F.sum("size_b").cast("long").alias("sum_size_b"),
+    )
+
+
+_Q_NGRAM_JACCARD_SQL = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM ws, UNNEST(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    END) AS t(s)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(inter) AS BIGINT) AS sum_inter,
+       CAST(sum(size_a) AS BIGINT) AS sum_size_a,
+       CAST(sum(size_b) AS BIGINT) AS sum_size_b
+FROM pairs
+"""
+
+
+def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply exact dedup; checksum the surviving rows."""
+    from parquet_playground_rs_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark, sf_dir))
+    return out.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("chars_checksum"),
+    )
+
+
+_Q_DEDUP_APPLY_SQL = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_checksum
+FROM ranked WHERE doc_id = keeper
+"""
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math sanity over embeddings: norm stats per label (JVM-side)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda v: v.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v * v,
+    )
+    return (
+        emb.select("label", norm2.alias("n2"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.max("dim").cast("long").alias("dim"),
+            # integer checksum: per-row double is bit-identical across
+            # engines (same in-array accumulation order), so round->int->sum
+            # is exact; a double SUM would depend on row order
+            F.sum(F.round(F.col("n2") * 10000).cast("long")).cast("long")
+            .alias("norm2_checksum"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q_EMBEDDING_NORMS_SQL = """
+WITH per AS (
+  SELECT label, len(embedding) AS dim,
+         CAST(round(list_aggregate(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum') * 10000, 0)
+              AS BIGINT) AS n2c
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(max(dim) AS BIGINT) AS dim,
+       CAST(sum(n2c) AS BIGINT) AS norm2_checksum
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+# --- rows-only (non-SQL-expressible ops: engine hashes / codec blobs) -------
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard confirmed (rows-only:
+    signature hashes are xxhash64-based, not reproducible in DuckDB)."""
+    from parquet_playground_rs_spark.operators.dedup import minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup(docs, n=3, k=64, bands=16, threshold=0.8)
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("doc_a") + F.col("doc_b")).cast("long").alias("id_checksum"),
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_playground_rs_spark.operators.dedup import (simhash,
+                                                             simhash_near_pairs)
+
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_near_pairs(simhash(docs), max_hamming=3)
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force + LSH ANN over embeddings; reports LSH recall vs exact."""
+    from parquet_playground_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries_df = emb.limit(20)
+    bf = similarity.brute_force_topk(emb, queries_df, k=5)
+    ann = similarity.lsh_topk(emb, queries_df, dim=dim, k=5, n_planes=12, bands=6)
+    bfp = bf.select("query_id", "neighbor_id")
+    annp = ann.select("query_id", "neighbor_id")
+    hits = bfp.join(annp, ["query_id", "neighbor_id"], "left_semi").count()
+    total = bfp.count()
+    return spark.createDataFrame(
+        [(int(total), int(hits), float(hits) / max(total, 1))],
+        "n_exact bigint, n_lsh_hits bigint, recall double",
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media -> fake feature extraction."""
+    from parquet_playground_rs_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media_df(spark, 200)
+    feats = mm.extract_features(media, dim=16)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.max(F.size("feature")).cast("long").alias("dim"),
+        )
+        .orderBy("kind")
+    )
+
+
 # --- rows-only (non-SQL-expressible codec ops) ------------------------------
 
 def _q_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +621,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "fingerprint": _q_fingerprint,
+        "text_features": _q_text_features,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_apply": _q_dedup_apply,
+        "embedding_norms": _q_embedding_norms,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "ann_topk": _q_ann_topk,
+        "multimodal_features": _q_multimodal_features,
         "encode_summary": _q_encode_summary,
         "roundtrip_verify": _q_roundtrip_verify,
         "synthetic_roundtrip": _q_synthetic_roundtrip,
@@ -385,6 +646,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "text_quality": _Q_TEXT_QUALITY_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
+        "text_features": _Q_TEXT_FEATURES_SQL,
+        "lang_id": _build_lang_id_sql(),
+        "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+        "dedup_apply": _Q_DEDUP_APPLY_SQL,
+        "embedding_norms": _Q_EMBEDDING_NORMS_SQL,
+        # minhash_near_dups / simhash_near_dups: xxhash64 signatures not
+        #   reproducible in DuckDB -> rows-only
+        # ann_topk / multimodal_features: float top-k ordering + binary
+        #   payloads -> rows-only
         # encode_summary / roundtrip_verify / synthetic_roundtrip:
         # codec blobs are not SQL-expressible -> rows-only checks
     }

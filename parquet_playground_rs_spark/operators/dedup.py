@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is pure Spark SQL expressions (JVM-side,
+shuffle-minimal); no reference analog exists (the reference is an encode
+benchmark, SURVEY.md §2.3) — these are the new-engine training-pipeline
+operators the north star calls for.
+
+Scale notes:
+- exact dedup: one hash-groupBy, the minimum possible shuffle payload
+  (hash + doc_id only).
+- MinHash: the corpus is exploded to (doc_id, shingle) once, hashed with k
+  affine permutations of ONE base hash (a_i*h+b_i mod p — standard trick, so
+  the expensive xxhash64 runs once per shingle), then k min-aggregations in
+  a single groupBy pass. LSH banding re-shuffles only (band_key, doc_id).
+- SimHash: 64 conditional sums in one groupBy over exploded words.
+- All randomness is seeded arithmetic — rerun-stable for resumability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = (1 << 31) - 1  # 2147483647, prime
+
+
+def _affine_params(k: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p, a != 0."""
+    params = []
+    s = seed
+    for _ in range(k):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (s % (MERSENNE31 - 1)) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = s % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical text. Returns the
+    deduplicated rows of `docs`."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text_col))
+    keep = F.col(id_col) == F.min(F.col(id_col)).over(Window.partitionBy(h))
+    return docs.withColumn("_keep", keep).filter("_keep").drop("_keep")
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle string) — distinct word n-grams per document."""
+    words = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(words) < n, F.array(F.concat_ws(" ", words))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+
+
+def minhash_signatures(shingled: DataFrame, k: int = 64,
+                       seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long> of length k) MinHash signatures.
+
+    One xxhash64 per shingle; k affine permutations mod 2^31-1 (values stay
+    < 2^62, safe under ANSI arithmetic).
+    """
+    base = F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(MERSENNE31))
+    with_h = shingled.select("doc_id", base.alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE31)))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(_affine_params(k, seed))
+    ]
+    agg = with_h.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded LSH over signatures."""
+    k = bands * rows_per_band
+    band_keys = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                         for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    banded = signatures.select(
+        "doc_id", F.explode(band_keys).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(shingled: DataFrame, min_jaccard: float = 0.0,
+                  pairs: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard for all co-shingled pairs (or a candidate set).
+
+    Output: (doc_a, doc_b, inter bigint, size_a bigint, size_b bigint,
+    jaccard double). For unrestricted mode this is the classic
+    shingle-self-join — quadratic in the worst case; feed `pairs` from LSH
+    at scale.
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "inter",
+                F.col("size_a").cast("long").alias("size_a"),
+                F.col("size_b").cast("long").alias("size_b"), "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(docs: DataFrame, n: int = 3, k: int = 64, bands: int = 16,
+                  threshold: float = 0.8, seed: int = 42,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH -> exact-Jaccard
+    confirm -> connected representatives.
+
+    Returns (doc_a, doc_b, jaccard) confirmed near-duplicate pairs.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(sh, k=k, seed=seed)
+    cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
+    return jaccard_pairs(sh, min_jaccard=threshold, pairs=cand) \
+        .select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """(doc_id, simhash bigint) 64-bit SimHash over words."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    h = F.xxhash64("word", F.lit(seed))
+    with_h = words.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = with_h.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming via 4-band
+    16-bit block LSH (any pair within hamming 3 shares >= 1 exact block)."""
+    blocks = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for b in range(4)
+    ])
+    banded = sim.select("doc_id", "simhash", F.explode(blocks).alias("bk")) \
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,157 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths, per the training-pipeline requirement:
+- `brute_force_topk`: exact cosine top-k. The query side is broadcast (it's
+  small by construction); the corpus is never shuffled — each partition
+  scores its rows and a single top-k window reduces. The dot product is
+  JVM-side (`zip_with` + `aggregate`), no Python in the loop.
+- `lsh_topk`: random-hyperplane (sign) LSH — deterministic seeded
+  projections, bucket join on band keys, exact re-scoring inside buckets
+  only. The scale path: shuffles only (bucket_key, id) pairs.
+
+Embedding-cosine near-dup (dedup flavor) = `lsh_topk(corpus, corpus)`
+filtered to similarity >= threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add `unit` = embedding / ||embedding|| (zero vectors stay zero)."""
+    n = _norm(F.col(vec_col))
+    unit = F.when(n == 0, F.col(vec_col)).otherwise(
+        F.transform(F.col(vec_col), lambda v: v / n)
+    )
+    return df.withColumn("unit", unit)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) are excluded.
+    """
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu")
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qu")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _dot(F.col("cu"), F.col("qu")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def signbit_buckets(df: DataFrame, dim: int, n_planes: int = 16,
+                    bands: int = 4, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, band, key): sign-LSH band keys from seeded hyperplanes.
+
+    Projections are literal JVM expressions (the plane matrix is baked into
+    the plan as literals — fine for <= 64 planes x few hundred dims).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    sign_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(w)) for w in planes[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ) >= 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(n_planes)
+    ]
+    band_structs = []
+    for b in range(bands):
+        key = None
+        for r in range(rows_per_band):
+            bit = sign_bits[b * rows_per_band + r]
+            term = F.shiftleft(bit, r)
+            key = term if key is None else key.bitwiseXOR(term)
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             n_planes: int = 16, bands: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: bucket-join candidates, exact cosine only inside buckets."""
+    cb = signbit_buckets(corpus, dim, n_planes, bands, seed, id_col, vec_col) \
+        .withColumnRenamed("id", "neighbor_id")
+    qb = signbit_buckets(queries, dim, n_planes, bands, seed, id_col, vec_col) \
+        .withColumnRenamed("id", "query_id")
+    cand = (
+        cb.join(qb, ["band", "key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+    )
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"))
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qu"))
+    scored = (
+        cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _dot(F.col("cu"), F.col("qu")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dups(corpus: DataFrame, dim: int, threshold: float = 0.95,
+                        n_planes: int = 16, bands: int = 4, seed: int = 42,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cosine >= t)."""
+    cb = signbit_buckets(corpus, dim, n_planes, bands, seed, id_col, vec_col)
+    a, b = cb.alias("a"), cb.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    u = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col("unit"))
+    ua = u.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
+    ub = u.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
+    return (
+        cand.join(ua, "id_a").join(ub, "id_b")
+        .select("id_a", "id_b", _dot(F.col("unit_a"), F.col("unit_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

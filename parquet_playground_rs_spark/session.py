@@ -8,7 +8,7 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "parquet_playground_rs_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None, driver_mem: str = "24g",
+              shuffle_partitions: int | None = None, driver_mem: str = "12g",
               ui: bool = False) -> SparkSession:
     """Local-mode session. `cores=None` -> local[*].
 

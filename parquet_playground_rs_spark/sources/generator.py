@@ -95,8 +95,15 @@ def sequences_df(spark: SparkSession, n_rows: int, seed: int = 42,
 
 
 def write_sequences(spark: SparkSession, n_rows: int, path: str,
-                    seed: int = 42, partitions: int | None = None) -> str:
-    """Materialize the table as parquet (for bench reuse)."""
+                    seed: int = 42, partitions: int | None = None,
+                    compression: str = "snappy") -> str:
+    """Materialize the table as parquet (for bench reuse).
+
+    Default snappy: measured on this box, 32 concurrent zstd-jni
+    decompressors contend badly (5x run-to-run variance on the read+
+    mapInArrow path), while snappy reads are stable. Engine *outputs*
+    stay zstd — they are written once and the size target needs it.
+    """
     df = sequences_df(spark, n_rows, seed=seed, partitions=partitions)
-    df.write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
     return path

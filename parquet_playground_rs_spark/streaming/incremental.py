@@ -1,0 +1,53 @@
+"""Incremental (streaming) encode: new sequence files -> encoded blocks.
+
+Structured Streaming file source + ``foreachBatch``: each micro-batch runs
+the same batch encode operator and appends to the encoded table, with the
+checkpoint directory providing exactly-once file-level progress (Spark's
+own offset log) on top of the batch pipeline's bucket manifests. This is
+the "resumable ingestion" face of the engine — the reference has no
+streaming at all (single-shot binaries, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import encode as enc
+
+SEQ_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def stream_encode(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    chunk_size: int = enc.DEFAULT_CHUNK,
+    max_files_per_trigger: int = 8,
+):
+    """Start the incremental encode stream; returns the StreamingQuery.
+
+    Call ``q.processAllAvailable(); q.stop()`` for a synchronous drain
+    (tests / backfills) or let it run with a trigger for tailing.
+    """
+    checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    src = (
+        spark.readStream.schema(SEQ_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        encoded = enc.encode_tokens(batch_df, chunk_size=chunk_size)
+        (
+            encoded.write.mode("append")
+            .parquet(os.path.join(out_dir, "data"))
+        )
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
