@@ -74,28 +74,37 @@ def list_to_numpy(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.RecordBatch:
-    """Encode one Arrow batch of (doc_id, source, chunk_idx, n_chunks, tokens)."""
+    """Encode one Arrow batch of (doc_id, source, chunk_idx, n_chunks, tokens).
+
+    Fully batch-vectorized (functions/batch_encode.py): segmented stats +
+    group packing; no per-row Python in the hot path.
+    """
+    from ..functions import batch_encode
+
     values, offsets = list_to_numpy(batch.column("tokens"))
     n = batch.num_rows
 
-    blobs: list[bytes] = []
-    codecs: list[str] = []
-    meta_cols = {name: np.zeros(n, dtype=np.int64) for name, _ in META_FIELDS}
-
-    for i in range(n):
-        row = values[offsets[i]: offsets[i + 1]]
-        blob, codec, stats = selector.encode_auto(row, enable_fsst=enable_fsst)
-        blobs.append(blob)
-        codecs.append(codec)
-        meta_cols["n_tok"][i] = stats.n
-        meta_cols["min_val"][i] = stats.min_val
-        meta_cols["max_val"][i] = stats.max_val
-        meta_cols["n_unique"][i] = stats.n_unique
-        meta_cols["n_runs"][i] = stats.n_runs
-        meta_cols["bit_width"][i] = stats.bit_width
-        meta_cols["dict_size"][i] = stats.n_unique if codec == "dict" else 0
-        meta_cols["input_bytes"][i] = 4 * stats.n
-        meta_cols["output_bytes"][i] = len(blob)
+    blobs, codec_ids, s, aux = batch_encode.encode_batch(
+        values, offsets, enable_fsst=enable_fsst)
+    codecs = [kernels.CODEC_NAMES[int(c)] for c in codec_ids]
+    dict_sizes = np.where(
+        codec_ids == kernels.CODEC_IDS["dict"],
+        # dict blob layout: [B][I n][I dict_size]...
+        np.array([int.from_bytes(b[5:9], "little") if b[0] == kernels.CODEC_IDS["dict"]
+                  else 0 for b in blobs], dtype=np.int64),
+        0,
+    )
+    meta_cols = {
+        "n_tok": s["n_tok"],
+        "min_val": s["min"],
+        "max_val": s["max"],
+        "n_unique": dict_sizes,  # exact only where the dict codec ran
+        "n_runs": s["n_runs"],
+        "bit_width": aux["bw"],
+        "dict_size": dict_sizes,
+        "input_bytes": 4 * s["n_tok"],
+        "output_bytes": np.array([len(b) for b in blobs], dtype=np.int64),
+    }
 
     meta = pa.StructArray.from_arrays(
         [pa.array(meta_cols[name], type=typ) for name, typ in META_FIELDS],

@@ -1,0 +1,113 @@
+"""Batch-vectorized encode must decode identically to the per-row kernels."""
+
+import numpy as np
+import pytest
+
+from parquet_playground_rs_spark.functions import batch_encode, kernels, selector
+from tests.test_kernels import EDGE_ARRAYS
+
+rng = np.random.default_rng(123)
+
+
+def make_batch(arrays):
+    values = np.concatenate([a for a in arrays]) if arrays else np.empty(0, np.int32)
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
+    for i, a in enumerate(arrays):
+        offsets[i + 1] = offsets[i] + a.size
+    return values.astype(np.int32), offsets
+
+
+def test_edge_arrays_roundtrip():
+    arrays = list(EDGE_ARRAYS.values())
+    values, offsets = make_batch(arrays)
+    blobs, cids, s, aux = batch_encode.encode_batch(values, offsets)
+    assert len(blobs) == len(arrays)
+    for blob, arr in zip(blobs, arrays):
+        np.testing.assert_array_equal(kernels.decode(blob), arr)
+
+
+def test_stats_match_per_row():
+    arrays = list(EDGE_ARRAYS.values())
+    values, offsets = make_batch(arrays)
+    s = batch_encode.batch_stats(values, offsets)
+    for i, arr in enumerate(arrays):
+        ref = selector.compute_stats(arr)
+        assert s["n_tok"][i] == ref.n
+        if ref.n:
+            assert s["min"][i] == ref.min_val, i
+            assert s["max"][i] == ref.max_val, i
+            assert s["n_runs"][i] == ref.n_runs, i
+            assert s["dmin"][i] == ref.delta_min, i
+            assert s["dmax"][i] == ref.delta_max, i
+
+
+def test_sizes_not_worse_than_per_row_selector():
+    """Batch path may skip the dict codec on probed-out rows, but must never
+    exceed plain, and on the edge set must be within 5% of per-row total."""
+    arrays = list(EDGE_ARRAYS.values())
+    values, offsets = make_batch(arrays)
+    blobs, _, s, _ = batch_encode.encode_batch(values, offsets)
+    total_batch = sum(len(b) for b in blobs)
+    total_row = sum(len(selector.encode_auto(a)[0]) for a in arrays)
+    for b, a in zip(blobs, arrays):
+        assert len(b) <= batch_encode.HEADER + 4 * a.size
+    assert total_batch <= total_row * 1.05
+
+
+def test_random_batches_roundtrip():
+    for trial in range(5):
+        arrays = []
+        for _ in range(200):
+            kind = rng.integers(0, 6)
+            n = int(rng.integers(0, 300))
+            if kind == 0:
+                a = np.full(n, int(rng.integers(-50, 50)), dtype=np.int32)
+            elif kind == 1:
+                a = rng.integers(0, 16, n).astype(np.int32)
+            elif kind == 2:
+                a = np.cumsum(rng.integers(0, 9, n)).astype(np.int32)
+            elif kind == 3:
+                a = rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int64).astype(np.int32)
+            elif kind == 4:
+                a = (rng.integers(0, 4, n) * 1_000_000_007 % (2**31)).astype(np.int32)
+            else:
+                a = np.repeat(rng.integers(0, 5, max(n // 10, 1)), 10)[:n].astype(np.int32)
+            arrays.append(a)
+        values, offsets = make_batch(arrays)
+        blobs, cids, _, _ = batch_encode.encode_batch(values, offsets)
+        for blob, arr, cid in zip(blobs, arrays, cids):
+            got = kernels.decode(blob)
+            np.testing.assert_array_equal(got, arr)
+            assert blob[0] == cid
+
+
+def test_wide_range_low_card_takes_dict_fallback():
+    """16 distinct values spread over the int32 range: probe must route to
+    the per-row dict path (bitpack alone would need 31+ bits)."""
+    vals = (np.arange(16, dtype=np.int64) * 134217727 - 2**30).astype(np.int32)
+    arr = vals[rng.integers(0, 16, 2000)]
+    values, offsets = make_batch([arr])
+    blobs, cids, _, _ = batch_encode.encode_batch(values, offsets)
+    assert kernels.blob_codec(blobs[0]) == "dict"
+    np.testing.assert_array_equal(kernels.decode(blobs[0]), arr)
+    assert len(blobs[0]) < 2000  # ~4 bits/token + dict, far below 8000
+
+
+def test_throughput_improvement():
+    """Batch path should be materially faster than the per-row loop."""
+    import time
+    arrays = []
+    for i in range(3000):
+        n = int(rng.integers(64, 512))
+        arrays.append(np.cumsum(rng.integers(0, 37, n)).astype(np.int32))
+    values, offsets = make_batch(arrays)
+    batch_encode.encode_batch(values, offsets)  # warm (one-time numpy setup)
+    selector.encode_auto(arrays[0])
+    t0 = time.time()
+    batch_encode.encode_batch(values, offsets)
+    t_batch = time.time() - t0
+    t0 = time.time()
+    for a in arrays:
+        selector.encode_auto(a)
+    t_row = time.time() - t0
+    assert t_batch < t_row, (t_batch, t_row)
