@@ -6,7 +6,7 @@ Measured jobs (protocol per BASELINE.md):
   q_encode            synthetic sequences (deterministic, sf-scaled) -> encode
                       -> write encoded parquet (the reference's js2pq path);
                       median of 3 reps after a warm-up exchange job
-  q_decode_verify     read encoded -> decode -> exact-equality verify
+  q_decode_verify     read encoded -> decode -> hash-compare verify
                       (the reference's parqbench --use-data path)
   q_encode_docs       tokenize the sf documents table -> encode -> count
   q_token_stats       oracle-style token stats over the tokenized docs
@@ -110,7 +110,7 @@ def main() -> None:
     # ---- q_decode_verify: read back, decode, exact equality
     t0 = time.time()
     decoded = dec.decode_tokens(spark.read.parquet(out_dir))
-    verdict = dec.verify_roundtrip(seq, decoded).first()
+    verdict = dec.verify_roundtrip(seq, decoded, method="hash").first()
     timings["q_decode_verify"] = time.time() - t0
     extra["n_mismatch"] = int(verdict["n_mismatch"])
     extra["decode_verify_tokens_per_sec"] = round(

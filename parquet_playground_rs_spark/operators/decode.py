@@ -36,16 +36,14 @@ _DECODED_ARROW_SCHEMA = pa.schema(
 
 
 def decode_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
-    """Decode one Arrow batch of encoded blocks back to token arrays."""
-    blocks = batch.column("block")
-    n = batch.num_rows
-    arrays: list[np.ndarray] = []
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    for i in range(n):
-        arr = kernels.decode(blocks[i].as_buffer())
-        arrays.append(arr)
-        offsets[i + 1] = offsets[i] + arr.size
-    values = np.concatenate(arrays) if arrays else np.empty(0, dtype=np.int32)
+    """Decode one Arrow batch of encoded blocks back to token arrays.
+
+    Batch-vectorized (functions/batch_decode.py): headers parsed with
+    vectorized byte composition, one unpackbits per (codec, width) group.
+    """
+    from ..functions import batch_decode
+
+    values, offsets = batch_decode.decode_binary_array(batch.column("block"))
     if offsets[-1] > 2**31 - 1:  # an Arrow batch never carries >2^31 values
         raise ValueError("batch too large for int32 list offsets")
     tokens = pa.ListArray.from_arrays(
@@ -104,12 +102,36 @@ def decode_tokens(encoded: DataFrame) -> DataFrame:
     return out.withColumn("n_tok", F.size("tokens").cast("int"))
 
 
-def verify_roundtrip(source_df: DataFrame, decoded_df: DataFrame) -> DataFrame:
-    """Join on doc_id and compare token arrays exactly.
+def verify_roundtrip(source_df: DataFrame, decoded_df: DataFrame,
+                     method: str = "exact") -> DataFrame:
+    """Join on doc_id and compare token arrays.
+
+    method="exact": shuffle the full arrays and compare element-wise —
+    the bit-identical guarantee used by the test suite.
+    method="hash": compare xxhash64(tokens) computed *before* the join, so
+    only (doc_id, 8-byte hash) shuffles — the at-scale variant (a mismatch
+    still fails; equality is probabilistic at ~2^-64 per row).
 
     Returns a one-row DataFrame (n_source, n_decoded, n_joined, n_mismatch);
     a correct engine yields n_mismatch == 0 and all counts equal.
     """
+    if method == "hash":
+        s = source_df.select(
+            F.col("doc_id"), F.xxhash64(F.col("tokens")).alias("tokens_src"))
+        d = decoded_df.select(
+            F.col("doc_id"), F.xxhash64(F.col("tokens")).alias("tokens_dec"))
+        joined = s.join(d, "doc_id", "full_outer")
+        return joined.agg(
+            F.count("tokens_src").alias("n_source"),
+            F.count("tokens_dec").alias("n_decoded"),
+            F.sum(F.when(F.col("tokens_src").isNotNull()
+                         & F.col("tokens_dec").isNotNull(), 1).otherwise(0))
+            .alias("n_joined"),
+            F.sum(F.when(F.col("tokens_src").isNull()
+                         | F.col("tokens_dec").isNull()
+                         | (F.col("tokens_src") != F.col("tokens_dec")), 1)
+                  .otherwise(0)).alias("n_mismatch"),
+        )
     s = source_df.select(F.col("doc_id"), F.col("tokens").alias("tokens_src"))
     d = decoded_df.select(F.col("doc_id"), F.col("tokens").alias("tokens_dec"))
     joined = s.join(d, "doc_id", "full_outer")
