@@ -573,6 +573,86 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-style window op over the events stream table:
+    per-user event runs with >5min gaps start new sessions."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch sec (UTC)
+    gap = sec - F.lag(sec).over(w)
+    with_s = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 300), 1).otherwise(0),
+    )
+    return with_s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_checksum"),
+    ).orderBy("event_type")
+
+
+_Q_EVENTS_SESSIONS_SQL = """
+WITH w AS (
+  SELECT event_type, user_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 300
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_checksum
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (S3 analog at column level)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.min(k).cast("long").alias("k_min"),
+        F.max(k).cast("long").alias("k_max"),
+    )
+
+
+_Q_JSON_PROPS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+"""
+
+
+def _q_histogram_touch_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parqbench touch-sum (A1-A6) over the histogram-shaped
+    table (rows-only: table is generated via xxhash64)."""
+    from parquet_playground_rs_spark.operators import histogram_pivot as hp
+    from parquet_playground_rs_spark.sources import histograms as hs
+
+    hist = hs.histograms_df(spark, 300, n_tags=5, n_points=60, seed=42)
+    return hp.touch_sum(hist).select(
+        "n_rows", "ts_sum", "count_sum", "sums_long_sum", "tag_chars_sum")
+
+
+def _q_histogram_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic tag pivot (P1-P4) summary (rows-only)."""
+    from parquet_playground_rs_spark.operators import histogram_pivot as hp
+    from parquet_playground_rs_spark.sources import histograms as hs
+
+    hist = hs.histograms_df(spark, 300, n_tags=5, n_points=60, seed=42)
+    keys = hp.tag_key_union(hist)
+    wide = hp.pivot_tags(hist, keys)
+    aggs = [F.countDistinct(k).cast("long").alias(f"card_{k}") for k in keys]
+    return wide.agg(F.count("*").cast("long").alias("n_rows"), *aggs)
+
+
 # --- rows-only (non-SQL-expressible codec ops) ------------------------------
 
 def _q_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_topk": _q_ann_topk,
         "multimodal_features": _q_multimodal_features,
+        "events_sessions": _q_events_sessions,
+        "json_props": _q_json_props,
+        "histogram_touch_sum": _q_histogram_touch_sum,
+        "histogram_pivot": _q_histogram_pivot,
         "encode_summary": _q_encode_summary,
         "roundtrip_verify": _q_roundtrip_verify,
         "synthetic_roundtrip": _q_synthetic_roundtrip,
@@ -651,6 +735,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "dedup_apply": _Q_DEDUP_APPLY_SQL,
         "embedding_norms": _Q_EMBEDDING_NORMS_SQL,
+        "events_sessions": _Q_EVENTS_SESSIONS_SQL,
+        "json_props": _Q_JSON_PROPS_SQL,
         # minhash_near_dups / simhash_near_dups: xxhash64 signatures not
         #   reproducible in DuckDB -> rows-only
         # ann_topk / multimodal_features: float top-k ordering + binary

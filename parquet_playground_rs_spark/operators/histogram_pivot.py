@@ -1,0 +1,164 @@
+"""Dynamic tag pivot + touch-sum checksums + row-pack codec.
+
+Spark-first re-expression of the reference's encode-path transforms:
+
+- P1 tag-key union (`/root/reference/src/bin/js2pq/main.rs:54-68`):
+  explode+distinct+sort instead of a driver-side HashSet.
+- P2/P3 pivot with null fill (`src/columns_builder.rs:63-94`):
+  `map_from_arrays` + `getItem` per inferred key — no shuffle at all
+  (the reference's row loop becomes a projection); a groupBy().pivot()
+  would shuffle for nothing since rows are already one-per-series.
+- P4 hexify column names (`src/columns_builder.rs:164-171`).
+- A1-A6 touch-sums (`src/bin/parqbench/main.rs:58-214`): the
+  decode-everything checksum, as one JVM-side aggregate.
+- E8/E9 row-pack codec (`src/flatbuffers.rs:10-41`): all four arrays of a
+  row serialized into one binary blob + exact inverse. Unlike the
+  reference's FlatBuffers packer, nulls in the sums arrays are preserved
+  via validity bitmaps (the reference silently DROPS them,
+  src/flatbuffers.rs:14-30 — a lossy bug we must not inherit).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tag_key_union(df: DataFrame) -> list[str]:
+    """P1: sorted distinct tag keys across the table (small; collected)."""
+    rows = (df.select(F.explode("tags").alias("k")).distinct()
+            .orderBy("k").collect())
+    return [r["k"] for r in rows]
+
+
+def hexify(name: str) -> str:
+    """P4: column name -> lowercase hex of its UTF-8 bytes."""
+    return name.encode("utf-8").hex()
+
+
+def pivot_tags(df: DataFrame, keys: list[str] | None = None,
+               hex_names: bool = False) -> DataFrame:
+    """P2/P3: one nullable string column per tag key; missing -> null."""
+    if keys is None:
+        keys = tag_key_union(df)
+    m = F.map_from_arrays(F.col("tags"), F.col("tagValues"))
+    cols = [m.getItem(k).alias(hexify(k) if hex_names else k) for k in keys]
+    return df.select(*cols, "ts", "sumsDouble", "sumsLong", "count")
+
+
+def touch_sum(df: DataFrame) -> DataFrame:
+    """A1-A6: decode-forcing checksum over every column family.
+
+    Numeric arrays sum their values (+1 per null element, the reference's
+    convention, src/bin/parqbench/main.rs:58-69); string columns sum
+    lengths (A2).
+    """
+    def arr_sum(col: str) -> Column:
+        return F.aggregate(
+            F.col(col), F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(x.cast("long"), F.lit(1)),
+        )
+
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(arr_sum("ts")).cast("long").alias("ts_sum"),
+        F.sum(arr_sum("count")).cast("long").alias("count_sum"),
+        F.sum(arr_sum("sumsLong")).cast("long").alias("sums_long_sum"),
+        F.sum(F.aggregate(
+            F.col("sumsDouble"), F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x, F.lit(1.0)),
+        )).cast("double").alias("sums_double_sum"),
+        F.sum(F.aggregate(
+            F.col("tagValues"), F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        )).cast("long").alias("tag_chars_sum"),
+    )
+
+
+PACKED_DDL = "row_id bigint, blob binary, n_points int"
+
+_PACK_MAGIC = 0xB1
+
+
+def _pack_i64(arr: np.ndarray) -> bytes:
+    return struct.pack("<I", arr.size) + arr.astype("<i8").tobytes()
+
+
+def _pack_nullable(vals: np.ndarray, mask: np.ndarray, dtype: str) -> bytes:
+    bitmap = np.packbits(mask.astype(np.uint8), bitorder="little")
+    return (struct.pack("<I", vals.size) + bitmap.tobytes()
+            + vals.astype(dtype).tobytes())
+
+
+def pack_rows(df: DataFrame) -> DataFrame:
+    """E8: serialize (ts, count, sumsLong, sumsDouble) per row into one
+    binary blob — null-preserving, unlike the reference's FlatBuffers path.
+    """
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = batch.to_pydict()
+            n = batch.num_rows
+            blobs, npts = [], []
+            for i in range(n):
+                ts = np.asarray(tbl["ts"][i], dtype=np.int64)
+                cnt = np.asarray(tbl["count"][i], dtype=np.int64)
+                sl = tbl["sumsLong"][i] or []
+                sd = tbl["sumsDouble"][i] or []
+                sl_mask = np.array([x is not None for x in sl], dtype=bool)
+                sd_mask = np.array([x is not None for x in sd], dtype=bool)
+                sl_vals = np.array([x if x is not None else 0 for x in sl],
+                                   dtype=np.int64)
+                sd_vals = np.array([x if x is not None else 0.0 for x in sd],
+                                   dtype=np.float64)
+                blob = (struct.pack("<B", _PACK_MAGIC)
+                        + _pack_i64(ts) + _pack_i64(cnt)
+                        + _pack_nullable(sl_vals, sl_mask, "<i8")
+                        + _pack_nullable(sd_vals, sd_mask, "<f8"))
+                blobs.append(blob)
+                npts.append(ts.size)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("row_id"), pa.array(blobs, pa.binary()),
+                 pa.array(npts, pa.int32())],
+                names=["row_id", "blob", "n_points"],
+            )
+
+    with_id = df.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        "ts", "count", "sumsLong", "sumsDouble",
+    )
+    return with_id.mapInArrow(mapper, PACKED_DDL)
+
+
+def unpack_blob(blob: bytes):
+    """E9: exact inverse of pack_rows for one blob. Returns
+    (ts, count, sums_long(list incl None), sums_double(list incl None))."""
+    buf = memoryview(blob)
+    assert buf[0] == _PACK_MAGIC
+    off = 1
+
+    def read_i64(off):
+        (k,) = struct.unpack_from("<I", buf, off)
+        arr = np.frombuffer(buf, dtype="<i8", count=k, offset=off + 4)
+        return arr, off + 4 + 8 * k
+
+    def read_nullable(off, dtype, width):
+        (k,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        nb = (k + 7) // 8
+        bitmap = np.frombuffer(buf, dtype=np.uint8, count=nb, offset=off)
+        mask = np.unpackbits(bitmap, count=k, bitorder="little").astype(bool)
+        vals = np.frombuffer(buf, dtype=dtype, count=k, offset=off + nb)
+        out = [v if m else None for v, m in zip(vals.tolist(), mask)]
+        return out, off + nb + width * k
+
+    ts, off = read_i64(off)
+    cnt, off = read_i64(off)
+    sl, off = read_nullable(off, "<i8", 8)
+    sd, off = read_nullable(off, "<f8", 8)
+    return ts, cnt, sl, sd
