@@ -60,31 +60,34 @@ def _unpack_group(payload_bytes: np.ndarray, counts: np.ndarray,
     real_bytes = (counts * width + 7) // 8
     total_pad = int(pad_bytes.sum())
     arena = np.zeros(total_pad, dtype=np.uint8)
-    pad_off = np.concatenate(([0], np.cumsum(pad_bytes)))[:-1]
     # gather real payload bytes into the padded arena
     total_real = int(real_bytes.sum())
-    src_idx = np.repeat(row_payload_starts, real_bytes) + (
-        np.arange(total_real)
-        - np.repeat(np.concatenate(([0], np.cumsum(real_bytes)))[:-1], real_bytes)
-    )
-    dst_idx = np.repeat(pad_off, real_bytes) + (
-        np.arange(total_real)
-        - np.repeat(np.concatenate(([0], np.cumsum(real_bytes)))[:-1], real_bytes)
-    )
-    arena[dst_idx] = payload_bytes[src_idx]
-    bits = np.unpackbits(arena, bitorder="little").reshape(-1, width)
-    shifts = np.arange(width, dtype=np.uint64)
-    vals = (bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    real_starts = np.concatenate(([0], np.cumsum(real_bytes)))[:-1]
+    rel_pos = np.arange(total_real)
+    byte_gaps = np.concatenate(([0], np.cumsum(pad_bytes - real_bytes)))[:-1]
+    arena[rel_pos + np.repeat(byte_gaps, real_bytes)] = payload_bytes[
+        rel_pos + np.repeat(row_payload_starts - real_starts, real_bytes)]
+    # word-wise unpack (inverse of batch_encode._group_pack): each group of
+    # `width` arena bytes holds 8 values; value i = bits [i*w, (i+1)*w) of
+    # the group's little-endian bitstream, extracted via an 8-byte window
+    # load + shift + mask — no (N, width) bit matrix.
+    k = total_pad // width
+    grp = arena.reshape(k, width)
+    window = np.zeros((k, 8), dtype=np.uint8)
+    vals = np.empty((k, 8), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for i in range(8):
+        byte0, shift = divmod(i * width, 8)
+        nb = (width + shift + 7) // 8  # window covers bits [shift, shift+w)
+        window[:, :nb] = grp[:, byte0:byte0 + nb]
+        if nb < 8:
+            window[:, nb:] = 0
+        vals[:, i] = (window.view("<u8").ravel() >> np.uint64(shift)) & mask
     # drop per-row padding values
-    keep = np.zeros(int(pad_counts.sum()), dtype=bool)
-    val_pad_off = np.concatenate(([0], np.cumsum(pad_counts)))[:-1]
     total_vals = int(counts.sum())
-    keep_idx = np.repeat(val_pad_off, counts) + (
-        np.arange(total_vals)
-        - np.repeat(np.concatenate(([0], np.cumsum(counts)))[:-1], counts)
-    )
-    keep[keep_idx] = True
-    return vals[keep].astype(np.int64) + np.repeat(refs, counts)
+    val_gaps = np.concatenate(([0], np.cumsum(pad_counts - counts)))[:-1]
+    keep_idx = np.arange(total_vals) + np.repeat(val_gaps, counts)
+    return vals.reshape(-1)[keep_idx].astype(np.int64) + np.repeat(refs, counts)
 
 
 def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -102,10 +105,8 @@ def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     def put(rows: np.ndarray, vals: np.ndarray) -> None:
         counts = n_tok[rows]
         total = int(counts.sum())
-        idx = np.repeat(out_offsets[rows], counts) + (
-            np.arange(total)
-            - np.repeat(np.concatenate(([0], np.cumsum(counts)))[:-1], counts)
-        )
+        pref = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        idx = np.arange(total) + np.repeat(out_offsets[rows] - pref, counts)
         out[idx] = vals.astype(np.int32)
 
     nonzero = n_tok > 0
@@ -115,10 +116,8 @@ def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if rows.size:
         counts = n_tok[rows]
         total = int(counts.sum())
-        src = np.repeat(starts[rows] + 5, counts * 4) + (
-            np.arange(total * 4)
-            - np.repeat(np.concatenate(([0], np.cumsum(counts * 4)))[:-1], counts * 4)
-        )
+        pref4 = np.concatenate(([0], np.cumsum(counts * 4)))[:-1]
+        src = np.arange(total * 4) + np.repeat(starts[rows] + 5 - pref4, counts * 4)
         put(rows, np.ascontiguousarray(d[src]).view("<i4"))
 
     # ---- bitpack: subheader [I n][q ref][B w] at +5, payload at +18

@@ -46,13 +46,19 @@ def _bits_needed_arr(span: np.ndarray) -> np.ndarray:
     return out
 
 
-def segmented_stats(values: np.ndarray, offsets: np.ndarray) -> dict[str, np.ndarray]:
+def batch_stats(values: np.ndarray, offsets: np.ndarray) -> dict[str, np.ndarray]:
     """Per-row stats for all rows of a batch, no per-row Python.
 
     values: int32[N] concatenated tokens; offsets: int64[n+1] row bounds.
-    Returns arrays of shape [n]: n_tok, min, max, n_runs, dmin, dmax.
+    Returns arrays of shape [n]: n_tok, min, max, n_runs, dmin, dmax
+    (delta min/max exact, row-boundary-corrected).
+
+    Single pass over the token stream: min/max reduceat directly on int32,
+    ONE shared int64 diff (dtype-parameterized subtract, no full-stream
+    astype) reused for run counting and delta ranges, boundary diffs
+    neutralized in place. Memory traffic per token ~28 bytes; the previous
+    formulation (two diffs + two copies + int64 casts) moved ~90.
     """
-    v = values.astype(np.int64, copy=False)
     starts = offsets[:-1]
     ends = offsets[1:]
     n_tok = ends - starts
@@ -61,61 +67,40 @@ def segmented_stats(values: np.ndarray, offsets: np.ndarray) -> dict[str, np.nda
 
     mins = np.zeros(n, dtype=np.int64)
     maxs = np.zeros(n, dtype=np.int64)
-    if v.size:
+    if values.size:
         ne_starts = starts[nonempty]
-        mins[nonempty] = np.minimum.reduceat(v, ne_starts)
-        maxs[nonempty] = np.maximum.reduceat(v, ne_starts)
+        mins[nonempty] = np.minimum.reduceat(values, ne_starts)
+        maxs[nonempty] = np.maximum.reduceat(values, ne_starts)
 
-    # run count from one global diff with row-boundary correction
-    n_runs = np.where(nonempty, 1, 0).astype(np.int64)
+    n_runs = nonempty.astype(np.int64)
+    dmin = np.zeros(n, dtype=np.int64)
+    dmax = np.zeros(n, dtype=np.int64)
     multi = n_tok > 1
-    if v.size > 1 and multi.any():
-        d = np.diff(v)                       # d[k] = v[k+1]-v[k], len N-1
-        chg = (d != 0).astype(np.int64)
-        csum_chg = np.concatenate(([0], np.cumsum(chg)))
+    if values.size > 1 and multi.any():
+        # d[k] = v[k+1]-v[k] in int64 (int32 deltas span up to 2^33)
+        d = np.subtract(values[1:], values[:-1], dtype=np.int64)
         m_starts = starts[multi]
         m_ends = ends[multi]
-        # changes within row = csum over d[start .. end-2]
-        n_runs[multi] = 1 + (csum_chg[m_ends - 1] - csum_chg[m_starts])
-    return {"n_tok": n_tok, "min": mins, "max": maxs, "n_runs": n_runs}
+        # run count: cumsum over change flags; changes within row i are
+        # chg[d[start .. end-2]] = C[end-2] - C[start-1]
+        csum = np.cumsum(d != 0, dtype=np.int64)
+        hi = csum[m_ends - 2]
+        lo = np.where(m_starts > 0, csum[np.maximum(m_starts, 1) - 1], 0)
+        n_runs[multi] = 1 + hi - lo
+        # delta ranges: neutralize inter-row boundary diffs (positions
+        # ends[i]-1) in place — d is not used after this
+        bpos = ends[:-1] - 1
+        bpos = bpos[(bpos >= 0) & (bpos < d.size)]
+        d[bpos] = np.iinfo(np.int64).max
+        dmin[multi] = np.minimum.reduceat(d, m_starts)
+        d[bpos] = np.iinfo(np.int64).min
+        dmax[multi] = np.maximum.reduceat(d, m_starts)
+    return {"n_tok": n_tok, "min": mins, "max": maxs, "n_runs": n_runs,
+            "dmin": dmin, "dmax": dmax}
 
 
-def _segmented_minmax_diff(v64: np.ndarray, starts: np.ndarray,
-                           ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Exact per-row delta min/max: reduceat over d with boundary diffs
-    neutralized (set to values that never win)."""
-    d = np.diff(v64)
-    if d.size == 0:
-        z = np.zeros(starts.size, dtype=np.int64)
-        return z, z
-    dmin_src = d.copy()
-    dmax_src = d.copy()
-    # boundary diffs are at positions ends[i]-1 (between row i and i+1)
-    bpos = ends[:-1] - 1
-    bpos = bpos[(bpos >= 0) & (bpos < d.size)]
-    dmin_src[bpos] = np.iinfo(np.int64).max
-    dmax_src[bpos] = np.iinfo(np.int64).min
-    multi = (ends - starts) > 1
-    dmin = np.zeros(starts.size, dtype=np.int64)
-    dmax = np.zeros(starts.size, dtype=np.int64)
-    if multi.any():
-        ms = starts[multi]
-        dmin[multi] = np.minimum.reduceat(dmin_src, ms)
-        dmax[multi] = np.maximum.reduceat(dmax_src, ms)
-    return dmin, dmax
-
-
-def batch_stats(values: np.ndarray, offsets: np.ndarray) -> dict[str, np.ndarray]:
-    """Stats with exact per-row delta ranges (boundary-corrected)."""
-    s = segmented_stats(values, offsets)
-    v64 = values.astype(np.int64, copy=False)
-    starts, ends = offsets[:-1], offsets[1:]
-    if v64.size > 1:
-        s["dmin"], s["dmax"] = _segmented_minmax_diff(v64, starts, ends)
-    else:
-        s["dmin"] = np.zeros(starts.size, dtype=np.int64)
-        s["dmax"] = np.zeros(starts.size, dtype=np.int64)
-    return s
+# Back-compat alias: the segmented stats ARE the batch stats now.
+segmented_stats = batch_stats
 
 
 def choose_codecs(s: dict[str, np.ndarray]) -> tuple[np.ndarray, dict[str, np.ndarray]]:
@@ -181,10 +166,8 @@ def segmented_dict(values: np.ndarray, offsets: np.ndarray,
     k = rows.size
     total = int(lens.sum())
     row_ids = np.repeat(np.arange(k), lens)
-    sel_idx = np.repeat(starts, lens) + (
-        np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(lens)))[:-1], lens)
-    )
-    sel = v[sel_idx]
+    row_pref = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    sel = v[np.arange(total) + np.repeat(starts - row_pref, lens)]
     order = np.lexsort((sel, row_ids))
     sv = sel[order]
     sr = row_ids[order]
@@ -205,28 +188,41 @@ def segmented_dict(values: np.ndarray, offsets: np.ndarray,
 
 def _group_pack(rel: np.ndarray, row_lens: np.ndarray, width: int) -> tuple[bytes, np.ndarray]:
     """Bit-pack concatenated relative values of several rows with one shared
-    width; each row starts byte-aligned. Returns (buffer, per-row byte size).
+    width; each row starts byte-aligned. Returns (buffer, per-row byte size,
+    per-row byte offset).
+
+    Layout is the little-endian bitstream (identical to
+    ``np.packbits(bitorder="little")`` over per-value bit columns), but
+    packed word-wise: every 8 values map to exactly ``width`` output bytes,
+    built with 8 shift-or passes — ~15 bytes of memory traffic per value
+    instead of the ~8*width a bit-matrix costs. That traffic is the measured
+    scaling bottleneck on shared-memory hosts (BENCH/BASELINE.md).
     """
     nbytes = (row_lens * width + 7) // 8
     if width == 0:
         return b"", nbytes, np.zeros(row_lens.size, dtype=np.int64)
     # pad every row to a multiple of 8 values: row regions become
-    # byte-aligned (pad_len*width bits % 8 == 0), so one packbits over the
-    # padded stream yields per-row slices at byte offsets — no bit scatter.
+    # byte-aligned (pad_len*width bits % 8 == 0), so per-row slices sit at
+    # byte offsets — no bit scatter.
     pad_lens = (row_lens + 7) // 8 * 8
     total_pad = int(pad_lens.sum())
     rel_pad = np.zeros(total_pad, dtype=np.uint64)
+    gaps = np.concatenate(([0], np.cumsum(pad_lens - row_lens)))[:-1]
+    rel_pad[np.arange(rel.size) + np.repeat(gaps, row_lens)] = rel.astype(
+        np.uint64, copy=False)
+    k = total_pad // 8
+    grp = rel_pad.reshape(k, 8)
+    out = np.zeros((k, width), dtype=np.uint8)
+    for i in range(8):
+        # value i of each group occupies stream bits [i*w, (i+1)*w)
+        byte0, shift = divmod(i * width, 8)
+        nb = (width + shift + 7) // 8  # <= 8 while width <= 57
+        t = (grp[:, i] << np.uint64(shift)).astype("<u8", copy=False)
+        out[:, byte0:byte0 + nb] |= t.view(np.uint8).reshape(k, 8)[:, :nb]
     pad_starts = np.concatenate(([0], np.cumsum(pad_lens)))[:-1]
-    within = np.arange(rel.size) - np.repeat(
-        np.concatenate(([0], np.cumsum(row_lens)))[:-1], row_lens
-    )
-    rel_pad[np.repeat(pad_starts, row_lens) + within] = rel.astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((rel_pad[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    packed = np.packbits(bits.reshape(-1), bitorder="little")
     # row i's payload = packed[pad_starts[i]*w/8 : +nbytes[i]]
     pad_byte_off = pad_starts * width // 8
-    return packed.tobytes(), nbytes, pad_byte_off
+    return out.reshape(-1).tobytes(), nbytes, pad_byte_off
 
 
 def encode_batch(values: np.ndarray, offsets: np.ndarray,
@@ -434,7 +430,6 @@ def encode_batch(values: np.ndarray, offsets: np.ndarray,
 def _concat_rows(v64: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Gather a group's rows into one contiguous array (vectorized take)."""
     total = int(lens.sum())
-    idx = np.repeat(starts, lens) + (
-        np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(lens)))[:-1], lens)
-    )
+    row_pref = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    idx = np.arange(total) + np.repeat(starts - row_pref, lens)
     return v64[idx]
