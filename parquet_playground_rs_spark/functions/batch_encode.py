@@ -200,7 +200,7 @@ def _group_pack(rel: np.ndarray, row_lens: np.ndarray, width: int) -> tuple[byte
     """
     nbytes = (row_lens * width + 7) // 8
     if width == 0:
-        return b"", nbytes, np.zeros(row_lens.size, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), nbytes, np.zeros(row_lens.size, dtype=np.int64)
     # pad every row to a multiple of 8 values: row regions become
     # byte-aligned (pad_len*width bits % 8 == 0), so per-row slices sit at
     # byte offsets — no bit scatter.
@@ -222,115 +222,180 @@ def _group_pack(rel: np.ndarray, row_lens: np.ndarray, width: int) -> tuple[byte
     pad_starts = np.concatenate(([0], np.cumsum(pad_lens)))[:-1]
     # row i's payload = packed[pad_starts[i]*w/8 : +nbytes[i]]
     pad_byte_off = pad_starts * width // 8
-    return out.reshape(-1).tobytes(), nbytes, pad_byte_off
+    return out.reshape(-1), nbytes, pad_byte_off
 
 
-def encode_batch(values: np.ndarray, offsets: np.ndarray,
-                 enable_fsst: bool = True):
-    """Encode every row of a batch. Returns (blobs list[bytes], codec ids
-    int8[n], stats dict of arrays).
 
-    Hot path is fully vectorized; only rare probe-flagged rows (wide-range
-    low-cardinality) fall back to the per-row selector.
+def _put_u32(data: np.ndarray, pos: np.ndarray, vals: np.ndarray) -> None:
+    """Scatter little-endian u32 field values at byte positions `pos`."""
+    v = np.asarray(vals).astype(np.uint64, copy=False)
+    for k in range(4):
+        data[pos + k] = ((v >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)
+
+
+def _put_i64(data: np.ndarray, pos: np.ndarray, vals: np.ndarray) -> None:
+    """Scatter little-endian i64 field values (two's complement) at `pos`."""
+    v = np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64)
+    for k in range(8):
+        data[pos + k] = ((v >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)
+
+
+def _copy_into(data: np.ndarray, dst_pos: np.ndarray, src: np.ndarray,
+               src_pos: np.ndarray, nbytes: np.ndarray) -> None:
+    """Vectorized per-row memcpy: src[src_pos[i] : +nbytes[i]] ->
+    data[dst_pos[i] : +nbytes[i]] for every row i, one fancy-index pass."""
+    nbytes = np.asarray(nbytes, dtype=np.int64)
+    total = int(nbytes.sum())
+    if total == 0:
+        return
+    pref = np.concatenate(([0], np.cumsum(nbytes)))[:-1]
+    r = np.arange(total)
+    data[r + np.repeat(np.asarray(dst_pos, dtype=np.int64) - pref, nbytes)] = \
+        src[r + np.repeat(np.asarray(src_pos, dtype=np.int64) - pref, nbytes)]
+
+
+def encode_batch_columnar(values: np.ndarray, offsets: np.ndarray,
+                          enable_fsst: bool = True):
+    """Encode every row of a batch into ONE contiguous blob buffer.
+
+    Returns (data uint8[total], blob_offsets int64[n+1], codec_ids int64[n],
+    stats dict, aux dict). Row i's blob is data[blob_offsets[i] :
+    blob_offsets[i+1]], byte-identical to functions/kernels.py per-row blobs.
+
+    Fully columnar: headers are written with vectorized byte scatters,
+    payloads with grouped bit-packs + one fancy-index copy per group — zero
+    per-row Python objects (no struct.pack / bytes concat / list-of-bytes),
+    which measured as ~1/3 of encode wall time at 1M rows. The buffer +
+    offsets feed pyarrow BinaryArray.from_buffers zero-copy.
+
+    Blob lengths are computed analytically per codec BEFORE assembly; the
+    chosen codec's length never exceeds the plain bound because `plain`
+    participates in the argmin and exact widths only shrink the RLE
+    estimate (tests/test_batch_encode.py enforces the invariant).
     """
-    values = kernels.as_int32(values)
+    values = np.ascontiguousarray(kernels.as_int32(values))
     offsets = np.asarray(offsets, dtype=np.int64)
     n = offsets.size - 1
+    starts, ends = offsets[:-1], offsets[1:]
     s = batch_stats(values, offsets)
     codec_ids, aux = choose_codecs(s)
+    n_tok = s["n_tok"]
+    PLAIN, BITPACK, FORDELTA, RLE, DICT, FSST = (
+        CODEC_IDS["plain"], CODEC_IDS["bitpack"], CODEC_IDS["fordelta"],
+        CODEC_IDS["rle"], CODEC_IDS["dict"], CODEC_IDS["fsst"])
 
-    # dict candidacy: probe-flagged low-cardinality rows get an exact
-    # segmented dictionary pass; dict wins where its size beats the current
-    # choice. Gate: dict can only pay when code width could undercut bw.
+    def pk(cnt, w):  # packed-block size: [u32][i64][u8] + payload
+        return 13 + (cnt * w + 7) // 8
+
+    # ---- dict pass: probe-flagged low-cardinality rows, exact segmented
+    # dictionary; dict wins where its size beats the current choice ----
     dict_rows = np.zeros(0, dtype=np.int64)
-    dict_parts: dict[int, bytes] = {}
-    # dict can only beat bitpack when code width (<=~4 bits for probe-
-    # positive rows) undercuts bw by enough to pay the dictionary itself
-    gate = np.flatnonzero((s["n_tok"] >= 32) & (aux["bw"] >= 6))
+    dict_state = None
+    gate = np.flatnonzero((n_tok >= 32) & (aux["bw"] >= 6))
     if gate.size:
         gate = gate[_dict_probe(values, offsets, gate)]
     if gate.size:
         uniq_vals, u_per_row, codes, cw, lens = segmented_dict(values, offsets, gate)
-        dict_sizes = (HEADER + 4 + 4 * u_per_row
-                      + 13 + (lens * cw + 7) // 8)
-        wins = dict_sizes < aux["best_size"][gate]
-        dict_rows = gate[wins]
-        if dict_rows.size:
-            # group-pack the winning rows' codes by width
-            uoff = np.concatenate(([0], np.cumsum(u_per_row)))
-            coff = np.concatenate(([0], np.cumsum(lens)))
-            win_idx = np.flatnonzero(wins)
-            for w in np.unique(cw[win_idx]):
-                sub = win_idx[cw[win_idx] == w]
-                sub_codes = np.concatenate([codes[coff[j]: coff[j + 1]] for j in sub])
-                buf, nbytes, boff = _group_pack(
-                    sub_codes.astype(np.uint64), lens[sub], int(w))
-                for bi, j in enumerate(sub):
-                    i = int(gate[j])
-                    head = (struct.pack("<BI", CODEC_IDS["dict"], int(lens[j]))
-                            + struct.pack("<I", int(u_per_row[j]))
-                            + uniq_vals[uoff[j]: uoff[j + 1]].tobytes()
-                            + struct.pack("<IqB", int(lens[j]), 0, int(w)))
-                    dict_parts[i] = head + buf[boff[bi]: boff[bi] + nbytes[bi]]
-    dict_set = set(dict_rows.tolist())
+        dict_blob_sizes = HEADER + 4 + 4 * u_per_row + pk(lens, cw)
+        win_idx = np.flatnonzero(dict_blob_sizes < aux["best_size"][gate])
+        if win_idx.size:
+            dict_rows = gate[win_idx]
+            codec_ids[dict_rows] = DICT
+            dict_state = (uniq_vals, u_per_row, codes, cw, lens, win_idx,
+                          dict_blob_sizes)
 
-    # fsst candidates: rows still near-incompressible after the lightweight
-    # codecs; they first get their group blob, then an fsst trial may
-    # replace it (below) — no per-row stats recomputation
-    still_bad = [int(i) for i in np.flatnonzero(aux["best_size"] > 3 * s["n_tok"])
-                 if int(i) not in dict_set and s["n_tok"][i] >= 64] \
-        if enable_fsst else []
-    per_row_fallback = set()
+    # ---- rle run extraction (up front: exact widths fix blob lengths) ----
+    rle_rows = np.flatnonzero(codec_ids == RLE)
+    rle_state = None
+    if rle_rows.size:
+        lens_r = n_tok[rle_rows]
+        sel = _concat_rows(values, starts[rle_rows], lens_r)
+        total = sel.size
+        row_firsts = np.concatenate(([0], np.cumsum(lens_r)))[:-1]
+        is_start = np.zeros(total, dtype=bool)
+        is_start[row_firsts] = True
+        if total > 1:
+            is_start[1:] |= sel[1:] != sel[:-1]
+        start_pos = np.flatnonzero(is_start)
+        run_vals = sel[start_pos].astype(np.int64)
+        run_lens = np.diff(np.concatenate((start_pos, [total])))
+        runs_per_row = s["n_runs"][rle_rows]
+        row_run_off = np.concatenate(([0], np.cumsum(runs_per_row)))
+        lmin = np.minimum.reduceat(run_lens, row_run_off[:-1])
+        lmax = np.maximum.reduceat(run_lens, row_run_off[:-1])
+        vw = aux["bw"][rle_rows]
+        lw = _bits_needed_arr(lmax - lmin)
+        rle_state = (run_vals, run_lens, runs_per_row, row_run_off, lmin, vw, lw)
 
-    v64 = values.astype(np.int64, copy=False)
-    starts, ends = offsets[:-1], offsets[1:]
-    blob_parts: list[bytes | None] = [None] * n
+    # ---- analytic per-row blob lengths ----
+    L = np.empty(n, dtype=np.int64)
+    m = codec_ids == PLAIN
+    L[m] = HEADER + 4 * n_tok[m]
+    m = codec_ids == BITPACK
+    L[m] = HEADER + pk(n_tok[m], aux["bw"][m])
+    m = codec_ids == FORDELTA
+    L[m] = HEADER + 8 + pk(n_tok[m] - 1, aux["dbw"][m])
+    if rle_rows.size:
+        _, _, runs_per_row, _, _, vw, lw = rle_state
+        L[rle_rows] = HEADER + pk(runs_per_row, vw) + pk(runs_per_row, lw)
+    if dict_rows.size:
+        L[dict_rows] = dict_state[6][dict_state[5]]
 
-    # ---- group bodies by codec ------------------------------------------
-    cid = codec_ids
-    PLAIN, BITPACK, FORDELTA, RLE = (CODEC_IDS["plain"], CODEC_IDS["bitpack"],
-                                     CODEC_IDS["fordelta"], CODEC_IDS["rle"])
+    # ---- fsst trial on near-incompressible rows: replace when smaller ----
+    fsst_blobs: dict[int, bytes] = {}
+    if enable_fsst:
+        cand = np.flatnonzero((L > 3 * n_tok) & (n_tok >= 64)
+                              & (codec_ids != DICT))
+        for i in cand:
+            i = int(i)
+            row = values[starts[i]: ends[i]]
+            if selector.estimate_fsst(row) < L[i]:
+                trial = kernels.encode_fsst(row)
+                if len(trial) < L[i]:
+                    fsst_blobs[i] = trial
+                    codec_ids[i] = FSST
+                    L[i] = len(trial)
 
-    skip = per_row_fallback | dict_set
-
-    # plain rows: slice raw bytes
-    plain_rows = np.flatnonzero(cid == PLAIN)
+    # ---- assembly into one buffer ----
+    blob_offsets = np.concatenate(([0], np.cumsum(L)))
+    data = np.zeros(int(blob_offsets[-1]), dtype=np.uint8)
+    off = blob_offsets[:-1]
+    data[off] = codec_ids.astype(np.uint8)
+    _put_u32(data, off + 1, n_tok)
     raw = values.view(np.uint8)
-    for i in plain_rows:
-        if i in skip:
-            continue
-        blob_parts[i] = (struct.pack("<BI", PLAIN, int(s["n_tok"][i]))
-                         + raw[starts[i] * 4: ends[i] * 4].tobytes())
 
-    # bitpack rows, grouped by width
-    bp_rows = np.flatnonzero(cid == BITPACK)
-    if skip:
-        bp_rows = bp_rows[[int(i) not in skip for i in bp_rows]]
-    if bp_rows.size:
-        w_arr = aux["bw"][bp_rows]
+    rows = np.flatnonzero((codec_ids == PLAIN) & (n_tok > 0))
+    if rows.size:
+        _copy_into(data, off[rows] + HEADER, raw, starts[rows] * 4,
+                   4 * n_tok[rows])
+
+    rows = np.flatnonzero(codec_ids == BITPACK)
+    if rows.size:
+        w_arr = aux["bw"][rows]
+        _put_u32(data, off[rows] + 5, n_tok[rows])
+        _put_i64(data, off[rows] + 9, s["min"][rows])
+        data[off[rows] + 17] = w_arr.astype(np.uint8)
         for w in np.unique(w_arr):
-            grp = bp_rows[w_arr == w]
-            lens = s["n_tok"][grp]
-            sel = _concat_rows(v64, starts[grp], lens)
+            grp = rows[w_arr == w]
+            lens = n_tok[grp]
+            sel = _concat_rows(values, starts[grp], lens)
             rel = (sel - np.repeat(s["min"][grp], lens)).astype(np.uint64)
             buf, nbytes, boff = _group_pack(rel, lens, int(w))
-            for gi, i in enumerate(grp):
-                head = struct.pack("<BI", BITPACK, int(lens[gi])) + struct.pack(
-                    "<IqB", int(lens[gi]), int(s["min"][i]), int(w))
-                blob_parts[i] = head + buf[boff[gi]: boff[gi] + nbytes[gi]]
+            if int(w):
+                _copy_into(data, off[grp] + 18, buf, boff, nbytes)
 
-    # fordelta rows, grouped by delta width
-    fd_rows = np.flatnonzero(cid == FORDELTA)
-    if skip:
-        fd_rows = fd_rows[[int(i) not in skip for i in fd_rows]]
-    if fd_rows.size:
-        w_arr = aux["dbw"][fd_rows]
+    rows = np.flatnonzero(codec_ids == FORDELTA)
+    if rows.size:
+        w_arr = aux["dbw"][rows]
+        _put_i64(data, off[rows] + 5, values[starts[rows]].astype(np.int64))
+        _put_u32(data, off[rows] + 13, n_tok[rows] - 1)
+        _put_i64(data, off[rows] + 17, s["dmin"][rows])
+        data[off[rows] + 25] = w_arr.astype(np.uint8)
         for w in np.unique(w_arr):
-            grp = fd_rows[w_arr == w]
-            lens = s["n_tok"][grp]
+            grp = rows[w_arr == w]
+            lens = n_tok[grp]
             dl = lens - 1
-            # deltas per row
-            sel = _concat_rows(v64, starts[grp], lens)
+            sel = _concat_rows(values, starts[grp], lens).astype(np.int64)
             ro = np.concatenate(([0], np.cumsum(lens)))
             d_all = np.diff(sel)
             keep = np.ones(d_all.size, dtype=bool)
@@ -338,93 +403,80 @@ def encode_batch(values: np.ndarray, offsets: np.ndarray,
             deltas = d_all[keep]
             rel = (deltas - np.repeat(s["dmin"][grp], dl)).astype(np.uint64)
             buf, nbytes, boff = _group_pack(rel, dl, int(w))
-            firsts = v64[starts[grp]]
-            for gi, i in enumerate(grp):
-                head = (struct.pack("<BI", FORDELTA, int(lens[gi]))
-                        + struct.pack("<q", int(firsts[gi]))
-                        + struct.pack("<IqB", int(dl[gi]), int(s["dmin"][i]), int(w)))
-                blob_parts[i] = head + buf[boff[gi]: boff[gi] + nbytes[gi]]
+            if int(w):
+                _copy_into(data, off[grp] + 26, buf, boff, nbytes)
 
-    # rle rows: global run extraction + two independent group-packs
-    rle_rows = np.flatnonzero(cid == RLE)
-    if skip:
-        rle_rows = rle_rows[[int(i) not in skip for i in rle_rows]]
     if rle_rows.size:
-        lens = s["n_tok"][rle_rows]
-        sel = _concat_rows(v64, starts[rle_rows], lens)
-        total = sel.size
-        row_firsts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        is_start = np.zeros(total, dtype=bool)
-        is_start[row_firsts] = True
-        if total > 1:
-            is_start[1:] |= sel[1:] != sel[:-1]
-        start_pos = np.flatnonzero(is_start)
-        run_vals = sel[start_pos]
-        run_lens = np.diff(np.concatenate((start_pos, [total])))
-        # runs per row (row boundaries always start runs -> contiguous)
-        runs_per_row = s["n_runs"][rle_rows]
-        row_run_off = np.concatenate(([0], np.cumsum(runs_per_row)))
-        # per-row length ref/width
-        lmin = np.minimum.reduceat(run_lens, row_run_off[:-1])
-        lmax = np.maximum.reduceat(run_lens, row_run_off[:-1])
-        vw = aux["bw"][rle_rows]
-        lw = _bits_needed_arr(lmax - lmin)
-        # pack run values (ref = row min) grouped by vw
-        vbufs: dict[int, tuple] = {}
+        run_vals, run_lens, runs_per_row, row_run_off, lmin, vw, lw = rle_state
+        p = off[rle_rows] + 5
+        _put_u32(data, p, runs_per_row)
+        _put_i64(data, p + 4, s["min"][rle_rows])
+        data[p + 12] = vw.astype(np.uint8)
+        q = p + 13 + (runs_per_row * vw + 7) // 8
+        _put_u32(data, q, runs_per_row)
+        _put_i64(data, q + 4, lmin)
+        data[q + 12] = lw.astype(np.uint8)
         for w in np.unique(vw):
             g = np.flatnonzero(vw == w)
-            gv = np.concatenate([run_vals[row_run_off[j]: row_run_off[j + 1]] for j in g]) \
-                if g.size else np.empty(0, np.int64)
-            rel = (gv - np.repeat(s["min"][rle_rows[g]], runs_per_row[g])).astype(np.uint64)
-            vbufs[int(w)] = (g, *_group_pack(rel, runs_per_row[g], int(w)))
-        lbufs: dict[int, tuple] = {}
+            gv = _concat_rows(run_vals, row_run_off[:-1][g], runs_per_row[g])
+            rel = (gv - np.repeat(s["min"][rle_rows[g]],
+                                  runs_per_row[g])).astype(np.uint64)
+            buf, nbytes, boff = _group_pack(rel, runs_per_row[g], int(w))
+            if int(w):
+                _copy_into(data, p[g] + 13, buf, boff, nbytes)
         for w in np.unique(lw):
             g = np.flatnonzero(lw == w)
-            gl = np.concatenate([run_lens[row_run_off[j]: row_run_off[j + 1]] for j in g]) \
-                if g.size else np.empty(0, np.int64)
+            gl = _concat_rows(run_lens, row_run_off[:-1][g], runs_per_row[g])
             rel = (gl - np.repeat(lmin[g], runs_per_row[g])).astype(np.uint64)
-            lbufs[int(w)] = (g, *_group_pack(rel, runs_per_row[g], int(w)))
-        # per-row slice indices into the group buffers
-        vslice: dict[int, bytes] = {}
-        for w, (g, buf, nb, boff) in vbufs.items():
-            for gi, j in enumerate(g):
-                vslice[int(j)] = (struct.pack(
-                    "<IqB", int(runs_per_row[j]), int(s["min"][rle_rows[j]]), w)
-                    + buf[boff[gi]: boff[gi] + nb[gi]])
-        lslice: dict[int, bytes] = {}
-        for w, (g, buf, nb, boff) in lbufs.items():
-            for gi, j in enumerate(g):
-                lslice[int(j)] = (struct.pack(
-                    "<IqB", int(runs_per_row[j]), int(lmin[j]), w)
-                    + buf[boff[gi]: boff[gi] + nb[gi]])
-        for j, i in enumerate(rle_rows):
-            blob_parts[i] = (struct.pack("<BI", RLE, int(lens[j]))
-                             + vslice[j] + lslice[j])
+            buf, nbytes, boff = _group_pack(rel, runs_per_row[g], int(w))
+            if int(w):
+                _copy_into(data, q[g] + 13, buf, boff, nbytes)
 
-    # dict rows: bodies already group-packed above
-    for i, b in dict_parts.items():
-        blob_parts[i] = b
-        codec_ids[i] = CODEC_IDS["dict"]
+    dict_size_col = np.zeros(n, dtype=np.int64)
+    if dict_rows.size:
+        uniq_vals, u_per_row, codes, cw, lens, win_idx, _ = dict_state
+        uoff = np.concatenate(([0], np.cumsum(u_per_row)))
+        coff = np.concatenate(([0], np.cumsum(lens)))
+        dsz = u_per_row[win_idx]
+        dict_size_col[dict_rows] = dsz
+        p = off[dict_rows] + 5
+        _put_u32(data, p, dsz)
+        _copy_into(data, p + 4, uniq_vals.view(np.uint8),
+                   uoff[win_idx] * 4, 4 * dsz)
+        cb = p + 4 + 4 * dsz
+        _put_u32(data, cb, lens[win_idx])
+        _put_i64(data, cb + 4, np.zeros(win_idx.size, dtype=np.int64))
+        cww = cw[win_idx]
+        data[cb + 12] = cww.astype(np.uint8)
+        for w in np.unique(cww):
+            g = np.flatnonzero(cww == w)
+            j = win_idx[g]
+            sub_codes = _concat_rows(codes, coff[j], lens[j])
+            buf, nbytes, boff = _group_pack(sub_codes.astype(np.uint64),
+                                            lens[j], int(w))
+            if int(w):
+                _copy_into(data, cb[g] + 13, buf, boff, nbytes)
 
-    # fsst trial on near-incompressible rows: replace only when smaller
-    for i in still_bad:
-        row = values[starts[i]: ends[i]]
-        if selector.estimate_fsst(row) < len(blob_parts[i]):
-            trial = kernels.encode_fsst(row)
-            if len(trial) < len(blob_parts[i]):
-                blob_parts[i] = trial
-                codec_ids[i] = CODEC_IDS["fsst"]
+    for i, blob in fsst_blobs.items():
+        data[blob_offsets[i]: blob_offsets[i] + len(blob)] = \
+            np.frombuffer(blob, dtype=np.uint8)
 
-    # size guard: plain is never beaten by a larger "compressed" blob
-    for i in range(n):
-        b = blob_parts[i]
-        limit = HEADER + 4 * int(s["n_tok"][i])
-        if len(b) > limit:
-            blob_parts[i] = (struct.pack("<BI", PLAIN, int(s["n_tok"][i]))
-                             + raw[starts[i] * 4: ends[i] * 4].tobytes())
-            codec_ids[i] = PLAIN
+    aux["dict_size"] = dict_size_col
+    aux["blob_bytes"] = L
+    return data, blob_offsets, codec_ids, s, aux
 
-    return blob_parts, codec_ids, s, aux
+
+def encode_batch(values: np.ndarray, offsets: np.ndarray,
+                 enable_fsst: bool = True):
+    """Compatibility wrapper over encode_batch_columnar: materializes the
+    per-row blobs as a list[bytes]. Returns (blobs, codec ids, stats, aux).
+    The Spark operator uses the columnar form directly (zero-copy Arrow)."""
+    data, blob_offsets, codec_ids, s, aux = encode_batch_columnar(
+        values, offsets, enable_fsst=enable_fsst)
+    db = data.tobytes()
+    blobs = [db[blob_offsets[i]: blob_offsets[i + 1]]
+             for i in range(blob_offsets.size - 1)]
+    return blobs, codec_ids, s, aux
 
 
 def _concat_rows(v64: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

@@ -79,21 +79,26 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
     Fully batch-vectorized (functions/batch_encode.py): segmented stats +
     group packing; no per-row Python in the hot path.
     """
+    import pyarrow.compute as pc
+
     from ..functions import batch_encode
 
     values, offsets = list_to_numpy(batch.column("tokens"))
     n = batch.num_rows
 
-    blobs, codec_ids, s, aux = batch_encode.encode_batch(
+    data, blob_offsets, codec_ids, s, aux = batch_encode.encode_batch_columnar(
         values, offsets, enable_fsst=enable_fsst)
-    codecs = [kernels.CODEC_NAMES[int(c)] for c in codec_ids]
-    dict_sizes = np.where(
-        codec_ids == kernels.CODEC_IDS["dict"],
-        # dict blob layout: [B][I n][I dict_size]...
-        np.array([int.from_bytes(b[5:9], "little") if b[0] == kernels.CODEC_IDS["dict"]
-                  else 0 for b in blobs], dtype=np.int64),
-        0,
-    )
+    if blob_offsets[-1] > 2**31 - 1:  # Arrow binary offsets are int32
+        raise ValueError("encoded batch exceeds 2GiB; lower Arrow batch size")
+    # zero-copy: one buffer + offsets, no per-row bytes objects
+    blocks = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(blob_offsets.astype(np.int32)),
+         pa.py_buffer(data)])
+    names = pa.array([kernels.CODEC_NAMES[i] for i in range(len(kernels.CODEC_NAMES))],
+                     type=pa.string())
+    codecs = pc.take(names, pa.array(codec_ids, type=pa.int32()))
+    dict_sizes = aux["dict_size"]
     meta_cols = {
         "n_tok": s["n_tok"],
         "min_val": s["min"],
@@ -103,7 +108,7 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
         "bit_width": aux["bw"],
         "dict_size": dict_sizes,
         "input_bytes": 4 * s["n_tok"],
-        "output_bytes": np.array([len(b) for b in blobs], dtype=np.int64),
+        "output_bytes": aux["blob_bytes"],
     }
 
     meta = pa.StructArray.from_arrays(
@@ -116,8 +121,8 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
             batch.column("source"),
             batch.column("chunk_idx"),
             batch.column("n_chunks"),
-            pa.array(codecs, type=pa.string()),
-            pa.array(blobs, type=pa.binary()),
+            codecs,
+            blocks,
             meta,
         ],
         schema=ENCODED_ARROW_SCHEMA,
@@ -127,28 +132,28 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
 def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
     """Chunk long-tail documents JVM-side; output one row per chunk.
 
-    Short rows (the overwhelming majority) keep chunk_idx=0, n_chunks=1 and
-    never pay the explode.
+    Single scan: a filter-union formulation reads the input twice (measured
+    ~13% of encode wall time even with zero long rows), so instead every row
+    goes through one conditional posexplode — short rows (the overwhelming
+    majority) explode a 1-element array (one JVM-side copy, no slicing) and
+    keep chunk_idx=0, n_chunks=1.
     """
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.col("n_tok") / F.lit(chunk_size))
     ).cast("int")
-    short = df.filter(F.col("n_tok") <= chunk_size).select(
-        "doc_id", "source",
-        F.lit(0).alias("chunk_idx"), F.lit(1).alias("n_chunks"),
-        "tokens",
+    chunks = F.when(
+        F.col("n_tok") <= chunk_size, F.array(F.col("tokens"))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.slice(F.col("tokens"), c * chunk_size + 1, chunk_size),
+        )
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda c: F.slice(F.col("tokens"), c * chunk_size + 1, chunk_size),
-    )
-    long = (
-        df.filter(F.col("n_tok") > chunk_size)
-        .select("doc_id", "source", n_chunks.alias("n_chunks"),
-                F.posexplode(chunks).alias("chunk_idx", "tokens"))
+    return (
+        df.select("doc_id", "source", n_chunks.alias("n_chunks"),
+                  F.posexplode(chunks).alias("chunk_idx", "tokens"))
         .select("doc_id", "source", "chunk_idx", "n_chunks", "tokens")
     )
-    return short.unionByName(long)
 
 
 def salted_repartition(df: DataFrame, num_partitions: int,
