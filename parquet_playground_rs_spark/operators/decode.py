@@ -82,12 +82,15 @@ def decode_tokens(encoded: DataFrame) -> DataFrame:
 
     Output: (doc_id string, source string, tokens array<int>, n_tok int)
     """
-    decoded = decode_blocks(encoded)
-    single = decoded.filter(F.col("n_chunks") == 1).select(
+    # filter on n_chunks BEFORE the Python mapper: filtering the decoded
+    # frame would re-run the decode UDF once per branch (each branch
+    # re-executes the plan); pre-filtering keeps decode single-pass and
+    # pushes the n_chunks predicate into the parquet scan.
+    single = decode_blocks(encoded.filter(F.col("n_chunks") == 1)).select(
         "doc_id", "source", "tokens"
     )
     multi = (
-        decoded.filter(F.col("n_chunks") > 1)
+        decode_blocks(encoded.filter(F.col("n_chunks") > 1))
         .groupBy("doc_id", "source")
         .agg(
             F.flatten(

@@ -32,6 +32,9 @@ def get_spark(app: str = "parquet_playground_rs_spark", cores: int | None = None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # task-side file commit (v2): avoids the driver-serial rename tail,
+        # which otherwise caps scaling as executor count grows
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )

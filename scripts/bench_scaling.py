@@ -44,6 +44,7 @@ spark = (SparkSession.builder.master(f"local-cluster[{n_exec},4,4096]")
     .config("spark.executor.memory", "4g")
     .config("spark.sql.files.maxPartitionBytes", "16m")
     .config("spark.sql.parquet.compression.codec", "zstd")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 sys.path.insert(0, %(repo)r)
