@@ -80,10 +80,15 @@ def main() -> None:
     subprocess.run(["zip", "-qr", zip_path, "parquet_playground_rs_spark"],
                    cwd=REPO, check=True)
     if not os.path.exists(os.path.join(SEQ, "_SUCCESS")):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
-                   SPARK_GRAFT_CPUS="16", SPARK_GRAFT_REPS="1")
-        subprocess.run([sys.executable, str(REPO / "bench.py")], env=env,
-                       check=True, capture_output=True, timeout=1800)
+        gen = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from parquet_playground_rs_spark.session import get_spark\n"
+            "from parquet_playground_rs_spark.sources.generator import write_sequences\n"
+            "spark = get_spark(app='scale-gen', cores=32, driver_mem='8g')\n"
+            "write_sequences(spark, %d, %r, seed=42, partitions=256)\n"
+            "spark.stop()\n" % (str(REPO), N_ROWS, SEQ)
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800)
 
     import duckdb
     total_tokens = duckdb.sql(
@@ -109,7 +114,7 @@ Protocol: `local-cluster[n,4,4096]` (separate executor JVMs), CPU-pinned
 with `taskset` to the configuration's core budget, interleaved pairs
 (host throughput fluctuates minute-to-minute on this shared VM),
 best-of-3 encode reps per session after a warm-up exchange job, median
-across {PAIRS} sessions. Job: read snappy sequences parquet (1M rows,
+across {PAIRS} sessions. Job: read snappy sequences parquet ({N_ROWS:,} rows,
 {total_tokens:,} tokens) -> skew split -> mapInArrow batch encode -> write
 zstd parquet. Identical input + code at both levels.
 
