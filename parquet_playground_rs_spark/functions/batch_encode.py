@@ -186,10 +186,11 @@ def segmented_dict(values: np.ndarray, offsets: np.ndarray,
     return uniq_vals.astype(np.int32), u_per_row, codes, width, lens
 
 
-def _group_pack(rel: np.ndarray, row_lens: np.ndarray, width: int) -> tuple[bytes, np.ndarray]:
+def _group_pack(rel: np.ndarray, row_lens: np.ndarray,
+                width: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Bit-pack concatenated relative values of several rows with one shared
-    width; each row starts byte-aligned. Returns (buffer, per-row byte size,
-    per-row byte offset).
+    width; each row starts byte-aligned. Returns (uint8 buffer, per-row byte
+    size, per-row byte offset into the buffer).
 
     Layout is the little-endian bitstream (identical to
     ``np.packbits(bitorder="little")`` over per-value bit columns), but
@@ -355,6 +356,23 @@ def encode_batch_columnar(values: np.ndarray, offsets: np.ndarray,
                     fsst_blobs[i] = trial
                     codec_ids[i] = FSST
                     L[i] = len(trial)
+
+    # The FSST pass may have flipped rows that were RLE when rle_state was
+    # built; drop them from the RLE assembly state or the full RLE payload
+    # would overflow the shrunken blob slot into the next row's bytes.
+    if rle_rows.size and fsst_blobs:
+        keep = codec_ids[rle_rows] == RLE
+        if not keep.all():
+            run_vals, run_lens, runs_per_row, row_run_off, lmin, vw, lw = rle_state
+            kept = np.flatnonzero(keep)
+            run_starts = row_run_off[:-1]
+            run_vals = _concat_rows(run_vals, run_starts[kept], runs_per_row[kept])
+            run_lens = _concat_rows(run_lens, run_starts[kept], runs_per_row[kept])
+            runs_per_row = runs_per_row[kept]
+            row_run_off = np.concatenate(([0], np.cumsum(runs_per_row)))
+            rle_state = (run_vals, run_lens, runs_per_row, row_run_off,
+                         lmin[kept], vw[kept], lw[kept])
+            rle_rows = rle_rows[kept]
 
     # ---- assembly into one buffer ----
     blob_offsets = np.concatenate(([0], np.cumsum(L)))

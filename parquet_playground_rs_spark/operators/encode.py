@@ -138,11 +138,15 @@ def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
     majority) explode a 1-element array (one JVM-side copy, no slicing) and
     keep chunk_idx=0, n_chunks=1.
     """
+    # NULL n_tok would otherwise flow through when()'s otherwise-branch with
+    # greatest(1, NULL)=1 and reach the Arrow encoder with possibly-NULL
+    # tokens; recompute it from the array so the behavior is intentional.
+    n_tok = F.coalesce(F.col("n_tok"), F.size("tokens"))
     n_chunks = F.greatest(
-        F.lit(1), F.ceil(F.col("n_tok") / F.lit(chunk_size))
+        F.lit(1), F.ceil(n_tok / F.lit(chunk_size))
     ).cast("int")
     chunks = F.when(
-        F.col("n_tok") <= chunk_size, F.array(F.col("tokens"))
+        n_tok <= chunk_size, F.array(F.col("tokens"))
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),

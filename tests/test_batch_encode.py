@@ -93,6 +93,49 @@ def test_wide_range_low_card_takes_dict_fallback():
     assert len(blobs[0]) < 2000  # ~4 bits/token + dict, far below 8000
 
 
+def _rle_marginal_row() -> np.ndarray:
+    """A row the size formulas pick RLE for, that the FSST trial then flips:
+    ~43 runs of 64 wide-range tokens (bw=31) drawn from 20 distinct values
+    whose low byte-pair is constant, so the byte stream is FSST-friendly."""
+    vals20 = [(i * 0x06000000) | 0x1234 for i in range(20)]
+    row = []
+    i = 0
+    while len(row) < 64:
+        row.extend([vals20[i % 20]] * (1 if i % 3 else 2))
+        i += 1
+    return np.array(row[:64], dtype=np.int64).astype(np.int32)
+
+
+def test_rle_to_fsst_flip_does_not_corrupt_neighbor():
+    """Regression: rows chosen as RLE then reassigned to FSST by the trial
+    pass must be dropped from the RLE assembly state; previously the full
+    RLE payload overflowed the shrunken slot into the next row's blob."""
+    row = _rle_marginal_row()
+    neighbor = np.arange(100, dtype=np.int32) * 7 + 3
+    values, offsets = make_batch([row, neighbor])
+
+    s = batch_encode.batch_stats(values, offsets)
+    ids0, _ = batch_encode.choose_codecs(s)
+    assert kernels.CODEC_NAMES[int(ids0[0])] == "rle"  # pre-trial choice
+
+    blobs, cids, _, _ = batch_encode.encode_batch(values, offsets)
+    assert kernels.blob_codec(blobs[0]) == "fsst"  # the trial flipped it
+    np.testing.assert_array_equal(kernels.decode(blobs[0]), row)
+    np.testing.assert_array_equal(kernels.decode(blobs[1]), neighbor)
+
+
+def test_rle_flip_interleaved_with_surviving_rle_rows():
+    """Mixed batch: surviving RLE rows before/after a flipped row must still
+    assemble from the filtered run state."""
+    rle_keep = np.repeat(np.arange(5, dtype=np.int32) * 100000, 40)
+    flip = _rle_marginal_row()
+    arrays = [rle_keep, flip, rle_keep[::-1].copy(), flip.copy()]
+    values, offsets = make_batch(arrays)
+    blobs, cids, _, _ = batch_encode.encode_batch(values, offsets)
+    for blob, arr in zip(blobs, arrays):
+        np.testing.assert_array_equal(kernels.decode(blob), arr)
+
+
 def test_throughput_improvement():
     """Batch path should be materially faster than the per-row loop."""
     import time
