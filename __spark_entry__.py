@@ -137,19 +137,46 @@ FROM v
 
 
 def _q_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-length stats (selector input analog) over an ordered key stream."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.orderBy("o_orderkey")
-    runs = orders.select(
-        "o_orderstatus", F.lag("o_orderstatus").over(w).alias("prev")
+    """Run-length stats (selector input analog) over an ordered key stream.
+
+    Scalable formulation: a global-order lag window would move the whole
+    table through ONE task. Instead, range-partition by the key, count run
+    starts per range with a per-partition lag, then subtract the boundary
+    continuations (a partition whose first status equals the previous
+    partition's last status over-counted one start). The boundary table has
+    <= num_partitions rows, so its window is bounded, not data-scaled.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderstatus")
+    ranged = orders.repartitionByRange(16, "o_orderkey") \
+        .withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy("o_orderkey")
+    starts = ranged.select(
+        "pid", "o_orderkey", "o_orderstatus",
+        F.lag("o_orderstatus").over(lw).alias("prev"),
     )
-    return runs.agg(
+    local = starts.agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(
-            F.when(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")), 1)
+            F.when(F.col("prev").isNull()
+                   | (F.col("prev") != F.col("o_orderstatus")), 1)
             .otherwise(0)
-        ).cast("long").alias("n_runs"),
+        ).cast("long").alias("n_starts"),
         F.countDistinct("o_orderstatus").cast("long").alias("n_unique"),
+    )
+    bounds = ranged.groupBy("pid").agg(
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_st"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("last_st"),
+    )
+    bw = Window.orderBy("pid")  # <= 16 rows: bounded by partition count
+    corr = bounds.select(
+        F.when(F.lag("last_st").over(bw) == F.col("first_st"), 1)
+        .otherwise(0).alias("c")
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_merged"))
+    return local.crossJoin(corr).select(
+        "n_rows",
+        (F.col("n_starts") - F.col("n_merged")).cast("long").alias("n_runs"),
+        "n_unique",
     )
 
 
@@ -514,8 +541,14 @@ FROM per GROUP BY label ORDER BY label
 # --- rows-only (non-SQL-expressible ops: engine hashes / codec blobs) -------
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard confirmed (rows-only:
-    signature hashes are xxhash64-based, not reproducible in DuckDB)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard confirmed.
+
+    Oracle-checked: the confirm stage recomputes exact Jaccard on the LSH
+    candidates, so when LSH recall is 1.0 (it is at this scale: 16 bands x
+    4 rows misses a >=0.8 pair with p ~ 2e-4, and the run is seeded) the
+    confirmed set EQUALS the brute-force >=0.8 Jaccard pairs, which DuckDB
+    computes directly. Integer outputs only, no float hashing.
+    """
     from parquet_playground_rs_spark.operators.dedup import minhash_dedup
 
     docs = _docs(spark, sf_dir)
@@ -524,6 +557,83 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.sum(F.col("doc_a") + F.col("doc_b")).cast("long").alias("id_checksum"),
     )
+
+
+_Q_MINHASH_SQL = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM ws, UNNEST(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    END) AS t(s)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(doc_a + doc_b) AS BIGINT) AS id_checksum
+FROM pairs
+"""
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH, exact re-score.
+
+    8 bands x 2 planes: a cosine>=0.95 pair misses all bands with p ~ 2e-6,
+    so at this scale the LSH output equals the brute-force >=0.95 set and
+    DuckDB can check it by computing all-pairs cosine directly. Integer
+    outputs only (pair count + id checksum) — no float comparisons.
+    """
+    from parquet_playground_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    dups = similarity.embedding_near_dups(
+        emb, dim=dim, threshold=0.95, n_planes=16, bands=8)
+    return dups.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_checksum"),
+    )
+
+
+_Q_EMB_NEAR_DUPS_SQL = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e,
+         sqrt(list_aggregate(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0 THEN e
+              ELSE list_transform(e, v -> v / nrm) END AS unit
+  FROM n
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE list_aggregate(list_transform(range(1, len(a.unit) + 1),
+        i -> a.unit[i] * b.unit[i]), 'sum') >= 0.95
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
+FROM pairs
+"""
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
         "json_props": _q_json_props,
@@ -737,8 +848,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _Q_EMBEDDING_NORMS_SQL,
         "events_sessions": _Q_EVENTS_SESSIONS_SQL,
         "json_props": _Q_JSON_PROPS_SQL,
-        # minhash_near_dups / simhash_near_dups: xxhash64 signatures not
-        #   reproducible in DuckDB -> rows-only
+        "minhash_near_dups": _Q_MINHASH_SQL,
+        "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,
+        # simhash_near_dups: xxhash64 signatures not reproducible in DuckDB
+        #   -> rows-only
         # ann_topk / multimodal_features: float top-k ordering + binary
         #   payloads -> rows-only
         # encode_summary / roundtrip_verify / synthetic_roundtrip:

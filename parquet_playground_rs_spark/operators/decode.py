@@ -73,15 +73,45 @@ def decode_blocks(encoded: DataFrame) -> DataFrame:
     return encoded.select(*cols).mapInArrow(mapper, DECODED_DDL)
 
 
-def decode_tokens(encoded: DataFrame) -> DataFrame:
+_EXPENSIVE_PLAN_NODES = (
+    "MapInArrow", "PythonMapInArrow", "MapInPandas", "Join", "Aggregate",
+    "Generate", "Window", "Sort", "MapPartitions", "Expand",
+)
+
+
+def _is_cheap_rescan(df: DataFrame) -> bool:
+    """True when re-executing df's plan in two branches is ~free: the
+    optimized plan is scan/filter/project only (no Python mappers, joins,
+    aggregates, generators)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return not any(tok in plan for tok in _EXPENSIVE_PLAN_NODES)
+
+
+def decode_tokens(encoded: DataFrame, materialize: bool | None = None) -> DataFrame:
     """Decode + reassemble chunked documents.
 
     Single-chunk documents (the vast majority) bypass the shuffle entirely;
     only skew-split documents pay the groupBy — the scale-sensitive choice,
     since a blanket collect_list over 10^12 rows would shuffle everything.
 
+    The split is two filtered branches, so `encoded`'s plan executes twice.
+    That is free when the plan is a (pushdown-filtered) parquet scan or is
+    already cached, but if `encoded` is a composed pipeline (e.g. the
+    encode mapper feeding decode directly) both branches would re-run the
+    whole upstream — encode would execute 2x. materialize=None autodetects:
+    expensive un-cached inputs are persisted (MEMORY_AND_DISK, spillable)
+    so the upstream runs once and both branches read the cache. Callers
+    that loop forever should pass materialize=False and manage their own
+    persistence/unpersist lifecycle.
+
     Output: (doc_id string, source string, tokens array<int>, n_tok int)
     """
+    if materialize is None:
+        materialize = not (encoded.is_cached or _is_cheap_rescan(encoded))
+    if materialize and not encoded.is_cached:
+        from pyspark import StorageLevel
+
+        encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
     # filter on n_chunks BEFORE the Python mapper: filtering the decoded
     # frame would re-run the decode UDF once per branch (each branch
     # re-executes the plan); pre-filtering keeps decode single-pass and

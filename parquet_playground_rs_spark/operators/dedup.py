@@ -86,9 +86,40 @@ def minhash_signatures(shingled: DataFrame, k: int = 64,
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str],
+                 max_bucket: int | None,
+                 id_col: str = "doc_id") -> tuple[DataFrame, list[str]]:
+    """Salt oversized LSH buckets so no self-join key exceeds ~max_bucket.
+
+    A degenerate band key (thousands of identical docs) makes the bucket
+    self-join quadratic on that key. Rows of a bucket with more than
+    max_bucket members are split into ceil(size/max_bucket) deterministic
+    sub-buckets (xxhash64(doc_id) — rerun-stable); the self-join cost per
+    bucket drops from size^2 to ~size*max_bucket (linear in size). Pairs
+    across sub-buckets of one bucket are lost, but members of a degenerate
+    bucket still pair up transitively within each sub-bucket, which is what
+    dedup-by-connected-representatives needs.
+    """
+    if not max_bucket:
+        return banded, keys
+    from pyspark.sql import Window
+
+    bsz = F.count("*").over(Window.partitionBy(*keys))
+    nsub = F.ceil(bsz / F.lit(max_bucket))
+    sub = F.when(nsub <= 1, F.lit(0).cast("long")).otherwise(
+        F.pmod(F.xxhash64(id_col, F.lit(1013)), nsub)
+    )
+    return banded.withColumn("sub", sub), keys + ["sub"]
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from banded LSH over signatures."""
+                        rows_per_band: int = 4,
+                        max_bucket: int | None = 4096) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded LSH over signatures.
+
+    max_bucket caps the per-bucket self-join (see _cap_buckets); None
+    disables the cap.
+    """
     k = bands * rows_per_band
     band_keys = F.array(*[
         F.struct(
@@ -101,10 +132,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,
     banded = signatures.select(
         "doc_id", F.explode(band_keys).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded, join_keys = _cap_buckets(banded, ["band", "key"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
-        a.join(b, ["band", "key"])
+        a.join(b, join_keys)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -118,20 +150,35 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float = 0.0,
 
     Output: (doc_a, doc_b, inter bigint, size_a bigint, size_b bigint,
     jaccard double). For unrestricted mode this is the classic
-    shingle-self-join — quadratic in the worst case; feed `pairs` from LSH
-    at scale.
+    shingle-self-join — quadratic in the worst case. With `pairs` the
+    candidate set restricts the join BEFORE any aggregation: the pairs are
+    joined to the shingle table on both doc sides (doc_a first, then
+    (doc_b, shingle)), so the intersection is computed for LSH candidates
+    only and the all-pairs shingle self-join never materializes. (A
+    semi-join *after* the groupBy cannot be pushed below it by Catalyst —
+    it would silently pay the quadratic cost LSH exists to avoid.)
     """
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        inter = (
+            pairs.select("doc_a", "doc_b")
+            .join(shingled.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                  "doc_a")
+            .join(shingled.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                  ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+    else:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        inter = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("sz", "size_a"), "doc_a")
@@ -189,9 +236,11 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
+                       max_bucket: int | None = 4096) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming via 4-band
-    16-bit block LSH (any pair within hamming 3 shares >= 1 exact block)."""
+    16-bit block LSH (any pair within hamming 3 shares >= 1 exact block).
+    max_bucket salts degenerate blocks (see _cap_buckets)."""
     blocks = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -201,9 +250,10 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     ])
     banded = sim.select("doc_id", "simhash", F.explode(blocks).alias("bk")) \
         .select("doc_id", "simhash", "bk.band", "bk.key")
+    banded, join_keys = _cap_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(b, ["band", "key"])
+        a.join(b, join_keys)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),

@@ -111,10 +111,29 @@ def signbit_buckets(df: DataFrame, dim: int, n_planes: int = 16,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_planes: int = 16, bands: int = 4, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: bucket-join candidates, exact cosine only inside buckets."""
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_bucket: int | None = 65536) -> DataFrame:
+    """ANN top-k: bucket-join candidates, exact cosine only inside buckets.
+
+    max_bucket bounds degenerate corpus buckets: a band key holding a large
+    fraction of the corpus would re-score ~brute-force for every query that
+    hits it. Oversized buckets keep a deterministic ~max_bucket hash-sample
+    of their corpus rows (xxhash64 — rerun-stable); recall for such queries
+    falls back on the other bands. None disables the cap.
+    """
     cb = signbit_buckets(corpus, dim, n_planes, bands, seed, id_col, vec_col) \
         .withColumnRenamed("id", "neighbor_id")
+    if max_bucket:
+        bsz = F.count("*").over(Window.partitionBy("band", "key"))
+        cb = (
+            cb.withColumn("_bsz", bsz)
+            .filter(
+                (F.col("_bsz") <= max_bucket)
+                | (F.pmod(F.xxhash64("neighbor_id", F.lit(1013)),
+                          F.ceil(F.col("_bsz") / F.lit(max_bucket))) == 0)
+            )
+            .drop("_bsz")
+        )
     qb = signbit_buckets(queries, dim, n_planes, bands, seed, id_col, vec_col) \
         .withColumnRenamed("id", "query_id")
     cand = (
@@ -136,12 +155,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 def embedding_near_dups(corpus: DataFrame, dim: int, threshold: float = 0.95,
                         n_planes: int = 16, bands: int = 4, seed: int = 42,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cosine >= t)."""
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        max_bucket: int | None = 4096) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cosine >= t).
+
+    Degenerate buckets are salted into sub-buckets (dedup._cap_buckets) so
+    the self-join stays linear in bucket size."""
+    from .dedup import _cap_buckets
+
     cb = signbit_buckets(corpus, dim, n_planes, bands, seed, id_col, vec_col)
+    cb, join_keys = _cap_buckets(cb, ["band", "key"], max_bucket, id_col="id")
     a, b = cb.alias("a"), cb.alias("b")
     cand = (
-        a.join(b, ["band", "key"])
+        a.join(b, join_keys)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -18,12 +18,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_vocab(docs: DataFrame) -> DataFrame:
-    """(word string, token_id int) — id = alphabetical rank, 0-based."""
+def build_vocab(docs: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """(word string, token_id int) — id = alphabetical rank, 0-based.
+
+    Scalable two-pass rank instead of a global-order window (which would
+    move the whole distinct-word set through ONE task — billions of rows at
+    corpus scale): range-partition by word so partition p holds an
+    alphabetical range, rank locally per partition, then add the partition
+    offsets (sum of lower partitions' counts, <= num_partitions values,
+    applied as a literal map — no join, no single-partition exchange).
+    The global rank is off[pid] + local_rank - 1 regardless of where the
+    range boundaries land, so the assignment is identical to the global
+    window's and stays oracle-stable.
+
+    The ranked frame is persisted (vocab-sized, tiny next to the corpus):
+    the offset count and the returned mapping both read it, and the
+    downstream word->id broadcast join reuses it.
+    """
+    from pyspark import StorageLevel
+
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).distinct()
-    w = Window.orderBy("word")
-    return words.select(
-        "word", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    ranged = words.repartitionByRange(num_partitions, "word") \
+        .withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy("word")
+    local = ranged.withColumn("lr", F.row_number().over(lw)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = {r["pid"]: r["cnt"]
+             for r in local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):  # ascending pid == ascending word range
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if not offsets:
+        return local.select(
+            "word", (F.col("lr") - 1).cast("int").alias("token_id"))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+    return local.select(
+        "word",
+        (mapping[F.col("pid")] + F.col("lr") - 1).cast("int").alias("token_id"),
     )
 
 

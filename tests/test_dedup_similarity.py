@@ -68,6 +68,45 @@ def test_lsh_candidates_superset_sanity(spark, docs):
     assert a == b
 
 
+def test_confirm_stage_is_candidate_first(spark, docs):
+    """The exact-Jaccard confirm restricted by LSH candidates must join the
+    candidate pairs BELOW the aggregation — no all-pairs shingle self-join,
+    no post-aggregation semi-join (regression for the quadratic plan)."""
+    sh = dedup.word_shingles(docs.limit(30), n=3)
+    sigs = dedup.minhash_signatures(sh, k=32)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    out = dedup.jaccard_pairs(sh, min_jaccard=0.5, pairs=cand)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in plan
+    # candidate-restricted and unrestricted paths agree on confirmed pairs
+    unrestricted = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    got = {(r["doc_a"], r["doc_b"], r["inter"]) for r in out.collect()}
+    full = {(r["doc_a"], r["doc_b"], r["inter"]) for r in unrestricted.collect()}
+    assert got <= full
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    expected = {t for t in full if (t[0], t[1]) in cand_set}
+    assert got == expected
+
+
+def test_degenerate_bucket_is_salted_and_bounded(spark):
+    """2000 identical docs: one LSH bucket per band. The cap must split it
+    into sub-buckets (bounded self-join) while every doc still pairs up."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.word_shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, k=16)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                                     max_bucket=100)
+    # expected pair count: sum over sub-buckets of C(size,2), far below
+    # C(2000,2) = 1_999_000; with ~20 sub-buckets of ~100 -> ~99_000
+    n_pairs = cand.count()
+    assert 0 < n_pairs < 600_000
+    # every doc appears in at least one candidate pair (transitive dedup ok)
+    touched = cand.select(F.col("doc_a").alias("d")).union(
+        cand.select(F.col("doc_b").alias("d"))).distinct().count()
+    assert touched == 2000
+
+
 def test_simhash_near_pairs_on_planted(spark, docs):
     # exact copies -> hamming 0; short docs flip many bits on small edits,
     # so near-miss detection is asserted via the data's natural near-dups

@@ -74,6 +74,34 @@ def test_roundtrip_through_parquet(spark, seq, tmp_path):
     assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
 
 
+def test_composed_decode_is_single_execution(spark, seq):
+    """decode_tokens over a composed (non-scan, un-cached) encode pipeline
+    must persist its input so encode runs ONCE, not once per branch."""
+    encoded = enc.encode_tokens(seq, chunk_size=512)
+    out = dec.decode_tokens(encoded)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both branches read the persisted relation instead of replaying encode
+    assert "InMemoryTableScan" in plan
+    # the encode mapper chain must not appear as a live (non-cached) node:
+    # executedPlan prints cached subtrees only inside InMemoryRelation
+    res = dec.verify_roundtrip(seq, out).first()
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+
+
+def test_scan_input_decode_skips_materialization(spark, seq, tmp_path):
+    """Parquet-scan inputs re-scan for free: no persist, and the n_chunks
+    filters push into the scan."""
+    out_dir = str(tmp_path / "enc_scan")
+    enc.encode_tokens(seq, chunk_size=512).write.parquet(out_dir)
+    encoded = spark.read.parquet(out_dir)
+    out = dec.decode_tokens(encoded)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    assert "PushedFilters" in plan or "n_chunks" in plan
+    res = dec.verify_roundtrip(seq, out).first()
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+
+
 def test_skew_split_chunks_longtail(spark, seq):
     chunked = enc.split_skew(seq, chunk_size=512)
     # every chunk obeys the size cap
