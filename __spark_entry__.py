@@ -765,6 +765,31 @@ def _q_histogram_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- rows-only (non-SQL-expressible codec ops) ------------------------------
 
+def _q_bss_doubles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float64 BSS codec (reference's forced encoding for sums_double,
+    js2pq/main.rs:107-108) over the reference-shaped histogram table:
+    round-trip through encode/decode_doubles_bss (element nulls preserved)
+    plus the deflate size probe raw-vs-planes. Rows-only: blob bytes are
+    not SQL-expressible."""
+    from parquet_playground_rs_spark.operators import doubles as D
+    from parquet_playground_rs_spark.sources import histograms as hs
+
+    hist = hs.histograms_df(spark, 300, n_tags=5, n_points=60, seed=42) \
+        .withColumn("rid", F.monotonically_increasing_id()).cache()
+    enc = D.encode_doubles_bss(hist, col="sumsDouble", id_col="rid")
+    dec = D.decode_doubles_bss(enc)
+    src = hist.select(F.col("rid").alias("row_id"),
+                      F.col("sumsDouble").alias("orig"))
+    # xxhash64 comparison: array equality with null elements is SQL-null,
+    # the hash is total
+    verdict = dec.join(src, "row_id").agg(
+        F.count("*").cast("long").alias("n_joined"),
+        F.sum(F.when(F.xxhash64("vals") != F.xxhash64("orig"), 1)
+              .otherwise(0)).cast("long").alias("n_mismatch"),
+    )
+    return D.bss_size_probe(hist, "sumsDouble").crossJoin(verdict)
+
+
 def _q_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_playground_rs_spark.operators import encode as enc
 
@@ -825,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "histogram_touch_sum": _q_histogram_touch_sum,
         "histogram_pivot": _q_histogram_pivot,
+        "bss_doubles": _q_bss_doubles,
         "encode_summary": _q_encode_summary,
         "roundtrip_verify": _q_roundtrip_verify,
         "synthetic_roundtrip": _q_synthetic_roundtrip,

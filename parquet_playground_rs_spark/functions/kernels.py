@@ -45,8 +45,13 @@ CODEC_IDS = {
     "rle": 3,
     "dict": 4,
     "fsst": 5,
+    "bss": 6,  # float64 byte-stream-split; decode via decode_bss, not decode
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
+
+# the int32 token-array family handled by encode()/decode(); bss is the
+# float64 column codec with its own encode_bss/decode_bss pair
+TOKEN_CODECS = ("plain", "bitpack", "fordelta", "rle", "dict", "fsst")
 
 _FSST_ESCAPE_NONE = 0xFFFF  # sentinel in the pair->code lookup table
 
@@ -246,6 +251,59 @@ def encode_fsst(tokens: np.ndarray, table: np.ndarray | None = None) -> bytes:
         literals.tobytes(),
     ]
     return b"".join(out)
+
+
+def encode_bss(values: np.ndarray, mask: np.ndarray | None = None) -> bytes:
+    """BYTE_STREAM_SPLIT analog for float64 arrays (+ element nullability).
+
+    The reference forces BSS on its doubles column for compressibility
+    (/root/reference/src/bin/js2pq/main.rs:107-108): splitting each f64
+    into 8 byte planes groups the high-entropy mantissa bytes away from
+    the low-entropy sign/exponent bytes, which a downstream general
+    compressor (the Parquet/ZSTD sink) then shrinks far better than the
+    interleaved layout. The transpose itself is size-neutral.
+
+    Layout after the common header (n = element count):
+        ceil(n/8) bytes validity bitmap (bit=1: element present)
+        8 * n bytes: byte plane 0 of all values, then plane 1, ... plane 7
+    Null elements are stored as 0.0 in the planes. NaN / +-inf round-trip
+    bit-exactly (pure byte moves, no float arithmetic).
+    """
+    vals = np.ascontiguousarray(values, dtype="<f8")
+    n = vals.size
+    if mask is None:
+        mask = np.ones(n, dtype=bool)
+    else:
+        mask = np.asarray(mask, dtype=bool)
+        if mask.size != n:
+            raise ValueError("mask length must equal value count")
+        if not mask.all():
+            vals = np.where(mask, vals, 0.0)
+    if n == 0:
+        return _header("bss", 0)
+    bitmap = np.packbits(mask.astype(np.uint8), bitorder="little")
+    planes = np.ascontiguousarray(vals).view(np.uint8).reshape(n, 8).T
+    return (_header("bss", n) + bitmap.tobytes()
+            + np.ascontiguousarray(planes).tobytes())
+
+
+def decode_bss(blob: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_bss. Returns (float64 values, validity mask);
+    null positions hold 0.0 in the values array."""
+    buf = memoryview(blob)
+    codec_id, n = struct.unpack_from("<BI", buf, 0)
+    if CODEC_NAMES[codec_id] != "bss":
+        raise ValueError(f"not a bss blob (codec id {codec_id})")
+    if n == 0:
+        return np.empty(0, dtype="<f8"), np.empty(0, dtype=bool)
+    off = 5
+    nb = (n + 7) // 8
+    bitmap = np.frombuffer(buf, dtype=np.uint8, count=nb, offset=off)
+    mask = np.unpackbits(bitmap, count=n, bitorder="little").astype(bool)
+    off += nb
+    planes = np.frombuffer(buf, dtype=np.uint8, count=8 * n, offset=off)
+    raw = np.ascontiguousarray(planes.reshape(8, n).T)
+    return raw.reshape(-1).view("<f8").copy(), mask
 
 
 def encode_constant_like(tokens: np.ndarray) -> bytes:

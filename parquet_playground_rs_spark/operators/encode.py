@@ -103,7 +103,11 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
         "n_tok": s["n_tok"],
         "min_val": s["min"],
         "max_val": s["max"],
-        "n_unique": dict_sizes,  # exact only where the dict codec ran
+        # exact cardinality is only computed where the dict codec ran;
+        # everywhere else it is honestly NULL (a 0 would be a lie the
+        # lineage consumers can't distinguish from "empty")
+        "n_unique": pa.array(dict_sizes, type=pa.int32(),
+                             mask=dict_sizes == 0),
         "n_runs": s["n_runs"],
         "bit_width": aux["bw"],
         "dict_size": dict_sizes,
@@ -112,7 +116,9 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
     }
 
     meta = pa.StructArray.from_arrays(
-        [pa.array(meta_cols[name], type=typ) for name, typ in META_FIELDS],
+        [meta_cols[name] if isinstance(meta_cols[name], pa.Array)
+         else pa.array(meta_cols[name], type=typ)
+         for name, typ in META_FIELDS],
         fields=[pa.field(name, typ) for name, typ in META_FIELDS],
     )
     return pa.RecordBatch.from_arrays(

@@ -29,7 +29,7 @@ def test_per_codec_forced_blobs():
     """Blobs produced by the per-row kernels (all six codecs) decode too."""
     arrays, blobs = [], []
     for name, arr in EDGE_ARRAYS.items():
-        for codec in kernels.CODEC_IDS:
+        for codec in kernels.TOKEN_CODECS:
             arrays.append(arr)
             blobs.append(kernels.encode(arr, codec))
     blocks = pa.array(blobs, type=pa.binary())

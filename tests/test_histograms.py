@@ -75,6 +75,38 @@ def test_touch_sum_values(spark, hist):
     assert r["tag_chars_sum"] > 0
 
 
+def test_row_pack_blobs_byte_identical_to_reference_format(spark, hist):
+    """The vectorized pack must emit byte-for-byte what the per-row
+    struct.pack formulation (kept as the format spec: _pack_i64 /
+    _pack_nullable) would."""
+    import struct
+
+    packed = {tuple(hp.unpack_blob(r["blob"])[0].tolist()): bytes(r["blob"])
+              for r in hp.pack_rows(hist).collect()}
+    for s in hist.select("ts", "count", "sumsLong", "sumsDouble").collect():
+        sl = s["sumsLong"] or []
+        sd = s["sumsDouble"] or []
+        ref = (struct.pack("<B", hp._PACK_MAGIC)
+               + hp._pack_i64(np.asarray(s["ts"], dtype=np.int64))
+               + hp._pack_i64(np.asarray(s["count"], dtype=np.int64))
+               + hp._pack_nullable(
+                   np.array([x if x is not None else 0 for x in sl], np.int64),
+                   np.array([x is not None for x in sl], bool), "<i8")
+               + hp._pack_nullable(
+                   np.array([x if x is not None else 0.0 for x in sd], np.float64),
+                   np.array([x is not None for x in sd], bool), "<f8"))
+        assert packed[tuple(s["ts"])] == ref
+
+
+def test_row_pack_mapper_has_no_per_row_python():
+    """Guard: the pack_rows hot path must stay vectorized."""
+    import inspect
+
+    src = inspect.getsource(hp.pack_rows)
+    assert "for i in range" not in src
+    assert "to_pydict" not in src
+
+
 def test_row_pack_roundtrip_preserves_nulls(spark, hist):
     packed = hp.pack_rows(hist)
     rows = packed.collect()

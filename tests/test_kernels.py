@@ -34,7 +34,7 @@ EDGE_ARRAYS = {
     "odd_len_3": np.array([1, 2, 3], dtype=np.int32),
 }
 
-ALL_CODECS = list(kernels.CODEC_IDS)
+ALL_CODECS = list(kernels.TOKEN_CODECS)
 
 
 @pytest.mark.parametrize("codec", ALL_CODECS)
