@@ -100,7 +100,7 @@ def main() -> None:
     for _ in range(ENCODE_REPS):
         t0 = time.time()
         encoded = enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK)
-        encoded.write.mode("overwrite").parquet(out_dir)
+        enc.write_encoded(encoded, out_dir)
         reps.append(time.time() - t0)
     timings["q_encode"] = statistics.median(reps)
     extra["encode_reps_sec"] = [round(r, 3) for r in reps]

@@ -256,7 +256,8 @@ def _copy_into(data: np.ndarray, dst_pos: np.ndarray, src: np.ndarray,
 
 
 def encode_batch_columnar(values: np.ndarray, offsets: np.ndarray,
-                          enable_fsst: bool = True):
+                          enable_fsst: bool = True,
+                          fsst_min_ratio: float = 3.0):
     """Encode every row of a batch into ONE contiguous blob buffer.
 
     Returns (data uint8[total], blob_offsets int64[n+1], codec_ids int64[n],
@@ -342,10 +343,15 @@ def encode_batch_columnar(values: np.ndarray, offsets: np.ndarray,
     if dict_rows.size:
         L[dict_rows] = dict_state[6][dict_state[5]]
 
-    # ---- fsst trial on near-incompressible rows: replace when smaller ----
+    # ---- fsst trial: replace when smaller. The gate L > ratio * n_tok
+    # bounds the per-row trial cost: at the default 3.0 only
+    # near-incompressible rows are probed (throughput-first; compressed
+    # size is already ~0.5x the target). Zipfian corpora (BPE-like token
+    # streams) sit at ~2.2 bytes/token where multi-round fsst wins ~12%
+    # (scripts/fsst_study.py) — size-oriented runs pass fsst_min_ratio=2.0.
     fsst_blobs: dict[int, bytes] = {}
     if enable_fsst:
-        cand = np.flatnonzero((L > 3 * n_tok) & (n_tok >= 64)
+        cand = np.flatnonzero((L > fsst_min_ratio * n_tok) & (n_tok >= 64)
                               & (codec_ids != DICT))
         for i in cand:
             i = int(i)
@@ -485,12 +491,13 @@ def encode_batch_columnar(values: np.ndarray, offsets: np.ndarray,
 
 
 def encode_batch(values: np.ndarray, offsets: np.ndarray,
-                 enable_fsst: bool = True):
+                 enable_fsst: bool = True, fsst_min_ratio: float = 3.0):
     """Compatibility wrapper over encode_batch_columnar: materializes the
     per-row blobs as a list[bytes]. Returns (blobs, codec ids, stats, aux).
     The Spark operator uses the columnar form directly (zero-copy Arrow)."""
     data, blob_offsets, codec_ids, s, aux = encode_batch_columnar(
-        values, offsets, enable_fsst=enable_fsst)
+        values, offsets, enable_fsst=enable_fsst,
+        fsst_min_ratio=fsst_min_ratio)
     db = data.tobytes()
     blobs = [db[blob_offsets[i]: blob_offsets[i + 1]]
              for i in range(blob_offsets.size - 1)]

@@ -73,8 +73,15 @@ def predicted_sizes(s: ArrayStats) -> dict[str, int]:
     return out
 
 
-def estimate_fsst(tokens: np.ndarray, sample: int = 4096) -> int:
-    """Estimated fsst size from a sampled byte-pair histogram."""
+def estimate_fsst(tokens: np.ndarray, sample: int = 4096,
+                  rounds: int = 3) -> int:
+    """Estimated fsst size from a sampled byte-pair histogram.
+
+    With rounds > 1 the recursive re-pair rounds roughly halve the
+    covered-code bytes once more at the cost of an extra table + bitmap
+    (kernels.encode_fsst); 0.6 is the fitted code-cost factor from
+    scripts/fsst_study.py. Incompressible rows (covered ~ 0) estimate
+    above plain either way, so the trial gate stays cheap to reject."""
     t = np.ascontiguousarray(tokens, dtype="<i4")
     n = t.size
     if n == 0:
@@ -87,8 +94,12 @@ def estimate_fsst(tokens: np.ndarray, sample: int = 4096) -> int:
     covered = counts[counts >= 2].sum() / pairs.size
     n_pairs = 2 * n
     n_symbols = int((counts >= 2).sum())
-    body = covered * n_pairs * 1 + (1 - covered) * n_pairs * 2
-    return int(HEADER + 6 + 2 * n_symbols + n_pairs / 8 + body)
+    code_cost = 0.6 if rounds > 1 else 1.0
+    extra_round_overhead = (2 * n_symbols + covered * n_pairs / 16) \
+        if rounds > 1 else 0.0
+    body = covered * n_pairs * code_cost + (1 - covered) * n_pairs * 2
+    return int(HEADER + 6 + 2 * n_symbols + n_pairs / 8
+               + extra_round_overhead + body)
 
 
 def choose_codec(tokens: np.ndarray, stats: ArrayStats | None = None,

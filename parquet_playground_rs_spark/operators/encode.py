@@ -73,11 +73,14 @@ def list_to_numpy(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return values, offsets
 
 
-def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.RecordBatch:
+def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True,
+                       fsst_min_ratio: float = 3.0) -> pa.RecordBatch:
     """Encode one Arrow batch of (doc_id, source, chunk_idx, n_chunks, tokens).
 
     Fully batch-vectorized (functions/batch_encode.py): segmented stats +
-    group packing; no per-row Python in the hot path.
+    group packing; no per-row Python in the hot path. fsst_min_ratio tunes
+    the FSST trial gate (3.0 = throughput-first default; 2.0 admits
+    Zipfian token blocks, see functions/batch_encode.py).
     """
     import pyarrow.compute as pc
 
@@ -87,7 +90,8 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
     n = batch.num_rows
 
     data, blob_offsets, codec_ids, s, aux = batch_encode.encode_batch_columnar(
-        values, offsets, enable_fsst=enable_fsst)
+        values, offsets, enable_fsst=enable_fsst,
+        fsst_min_ratio=fsst_min_ratio)
     if blob_offsets[-1] > 2**31 - 1:  # Arrow binary offsets are int32
         raise ValueError("encoded batch exceeds 2GiB; lower Arrow batch size")
     # zero-copy: one buffer + offsets, no per-row bytes objects
@@ -133,6 +137,32 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True) -> pa.Re
         ],
         schema=ENCODED_ARROW_SCHEMA,
     )
+
+
+# Writer-config fidelity with the reference sink (js2pq/main.rs:85-117):
+# E7 writer version PARQUET_2_0 ("parquet.writer.version" v2 -> v2 data
+# pages, DELTA_* / RLE_DICTIONARY encodings); E5/E6 statistics control —
+# the reference turns stats down because they buy "not much benefit" on
+# its data; here the high-entropy `block` binary column gets per-column
+# opt-out (footer bytes saved, nothing can prune on codec blobs anyway)
+# while doc_id/source/chunk columns keep stats for scan pruning.
+# skip_arrow_metadata (main.rs:115-117) has no Spark analog: parquet-mr
+# never writes an Arrow schema blob in the first place.
+ENCODED_WRITE_OPTIONS = {
+    "parquet.writer.version": "v2",
+    "parquet.column.statistics.enabled#block": "false",
+}
+
+
+def write_encoded(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: str | None = None, **extra_options) -> None:
+    """Parquet sink for the encoded table with reference-config fidelity."""
+    w = df.write.mode(mode)
+    for k, v in {**ENCODED_WRITE_OPTIONS, **extra_options}.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
 
 
 def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
@@ -183,7 +213,8 @@ def salted_repartition(df: DataFrame, num_partitions: int,
 
 def encode_tokens(df: DataFrame, chunk_size: int = DEFAULT_CHUNK,
                   num_partitions: int | None = None,
-                  enable_fsst: bool = True) -> DataFrame:
+                  enable_fsst: bool = True,
+                  fsst_min_ratio: float = 3.0) -> DataFrame:
     """Full encode operator: skew split -> salted repartition -> Arrow encode.
 
     Input:  (doc_id string, tokens array<int>, n_tok int, source string)
@@ -196,6 +227,7 @@ def encode_tokens(df: DataFrame, chunk_size: int = DEFAULT_CHUNK,
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows:
-                yield encode_arrow_batch(batch, enable_fsst=enable_fsst)
+                yield encode_arrow_batch(batch, enable_fsst=enable_fsst,
+                                         fsst_min_ratio=fsst_min_ratio)
 
     return chunked.mapInArrow(mapper, ENCODED_DDL)

@@ -124,11 +124,9 @@ def run_encode_job(
             .groupBy("bucket")
             .agg(F.map_from_entries(F.collect_list(F.struct("codec", "count"))).alias("hist"))
         )
-        (
-            encoded.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(os.path.join(out, "data"))
+        enc.write_encoded(
+            encoded, os.path.join(out, "data"),
+            partition_by="bucket", partitionOverwriteMode="dynamic",
         )
         wall = time.time() - t0
         stat_rows = {r["bucket"]: r for r in stats.collect()}

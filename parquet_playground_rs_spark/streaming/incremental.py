@@ -41,10 +41,7 @@ def stream_encode(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         encoded = enc.encode_tokens(batch_df, chunk_size=chunk_size)
-        (
-            encoded.write.mode("append")
-            .parquet(os.path.join(out_dir, "data"))
-        )
+        enc.write_encoded(encoded, os.path.join(out_dir, "data"), mode="append")
 
     return (
         src.writeStream.foreachBatch(sink)

@@ -111,12 +111,37 @@ def test_compression_wins_on_compressible_shapes():
         assert len(blob) < 4 * arr.size * 0.55, (name, codec, len(blob), 4 * arr.size)
 
 
-def test_fsst_with_shared_table():
+def test_fsst_multiround_beats_single_round():
+    """Recursive re-pair: on a repetitive motif extra rounds (4/8-byte
+    effective symbols) must shrink the blob below the 1-round form."""
     arr = EDGE_ARRAYS["motif"]
-    table = kernels.build_fsst_table(arr)
-    blob = kernels.encode_fsst(arr, table=table)
+    one = kernels.encode_fsst(arr, max_rounds=1)
+    multi = kernels.encode_fsst(arr, max_rounds=3)
+    np.testing.assert_array_equal(kernels.decode(one), arr)
+    np.testing.assert_array_equal(kernels.decode(multi), arr)
+    assert len(multi) < len(one) < 4 * arr.size
+
+
+def test_fsst_round_count_sweep_roundtrips():
+    rng_l = np.random.default_rng(5)
+    zipf = np.minimum(rng_l.zipf(1.3, 3000), 120_000).astype(np.int32)
+    for r in (1, 2, 3, 4):
+        blob = kernels.encode_fsst(zipf, max_rounds=r)
+        np.testing.assert_array_equal(kernels.decode(blob), zipf)
+
+
+def test_fsst_wins_on_zipfian_tokens():
+    """The north-star payload shape (BPE-like Zipf token stream): fsst must
+    beat every closed-form lightweight codec (scripts/fsst_study.py: 94%
+    of such blocks, ~-12% bytes)."""
+    from parquet_playground_rs_spark.functions import selector
+
+    rng_l = np.random.default_rng(11)
+    arr = np.minimum(rng_l.zipf(1.3, 2048), 120_000).astype(np.int32)
+    _, _, sizes = selector.choose_codec(arr, enable_fsst=False)
+    blob = kernels.encode_fsst(arr)
     np.testing.assert_array_equal(kernels.decode(blob), arr)
-    assert len(blob) < 4 * arr.size  # repetitive motif must compress
+    assert len(blob) < min(sizes.values())
 
 
 def test_fsst_compresses_repetitive_bytes():

@@ -130,6 +130,39 @@ def test_compression_beats_plain(spark, seq):
     encoded.unpersist()
 
 
+def test_encoded_sink_writer_config(spark, seq, tmp_path):
+    """E5-E7 fidelity: v2 writer encodings in the footer, stats disabled on
+    the block column only, readable round-trip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "enc_cfg")
+    enc.write_encoded(enc.encode_tokens(seq, chunk_size=512), out)
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    saw_block = saw_v2_encoding = False
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                root = col.path_in_schema.split(".")[0]
+                if root == "block":
+                    saw_block = True
+                    assert col.statistics is None  # E5/E6 opt-out
+                else:
+                    assert col.statistics is not None  # pruning kept
+                if any(e.startswith(("DELTA_", "RLE_DICT"))
+                       for e in col.encodings):
+                    saw_v2_encoding = True  # E7: v2 writer active
+    assert saw_block and saw_v2_encoding
+    res = dec.verify_roundtrip(
+        seq, dec.decode_tokens(spark.read.parquet(out))).first()
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+
+
 def test_verify_catches_corruption(spark, seq):
     """Negative control: a corrupted decode must be flagged."""
     encoded = enc.encode_tokens(seq, chunk_size=512)
