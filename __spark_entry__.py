@@ -790,6 +790,30 @@ def _q_bss_doubles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.bss_size_probe(hist, "sumsDouble").crossJoin(verdict)
 
 
+def _q_rowwise_columnar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A6 contrast: the row-by-row decoder must produce exactly the
+    columnar decoder's output (the reference's parqbench row-vs-columnar
+    comparison, main.rs:33-39; timing ratio lives in bench extras).
+    Rows-only: codec blobs are not SQL-expressible."""
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.operators import encode as enc
+
+    seq = _sequences(spark, sf_dir)
+    encoded = enc.encode_tokens(seq, chunk_size=2048).cache()
+    key = ["doc_id", "chunk_idx"]
+    col_d = dec.decode_blocks(encoded).select(
+        *key, F.xxhash64("tokens").alias("h_col"))
+    row_d = dec.decode_blocks_rowwise(encoded).select(
+        *key, F.xxhash64("tokens").alias("h_row"))
+    j = col_d.join(row_d, key, "full_outer")
+    return j.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("h_col").isNull() | F.col("h_row").isNull()
+                     | (F.col("h_col") != F.col("h_row")), 1).otherwise(0))
+        .cast("long").alias("n_mismatch"),
+    )
+
+
 def _q_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_playground_rs_spark.operators import encode as enc
 
@@ -851,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_touch_sum": _q_histogram_touch_sum,
         "histogram_pivot": _q_histogram_pivot,
         "bss_doubles": _q_bss_doubles,
+        "rowwise_columnar_equiv": _q_rowwise_columnar_equiv,
         "encode_summary": _q_encode_summary,
         "roundtrip_verify": _q_roundtrip_verify,
         "synthetic_roundtrip": _q_synthetic_roundtrip,

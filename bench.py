@@ -116,6 +116,20 @@ def main() -> None:
     extra["decode_verify_tokens_per_sec"] = round(
         total_tokens / timings["q_decode_verify"], 1)
 
+    # ---- rowwise-vs-columnar decode contrast (the reference's parqbench
+    # row-by-row vs columnar reader comparison, main.rs:33-39) on a
+    # bounded sample — the ratio is the point, not the absolute time
+    sample = spark.read.parquet(out_dir).limit(30000).cache()
+    sample.count()
+    t0 = time.time()
+    dec.decode_blocks(sample).agg(F.sum(F.size("tokens"))).first()
+    t_col = time.time() - t0
+    t0 = time.time()
+    dec.decode_blocks_rowwise(sample).agg(F.sum(F.size("tokens"))).first()
+    t_row = time.time() - t0
+    sample.unpersist()
+    extra["decode_rowwise_over_columnar"] = round(t_row / max(t_col, 1e-9), 2)
+
     # ---- compression vs reference-config parquet (zstd + dict, plain col)
     ref_dir = os.path.join(CACHE, f"reference_parquet_{sf_name()}_{n_rows}")
     if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):

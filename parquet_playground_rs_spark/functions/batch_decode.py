@@ -60,33 +60,51 @@ def _unpack_group(payload_bytes: np.ndarray, counts: np.ndarray,
     real_bytes = (counts * width + 7) // 8
     total_pad = int(pad_bytes.sum())
     arena = np.zeros(total_pad, dtype=np.uint8)
-    # gather real payload bytes into the padded arena
+    # gather real payload bytes into the padded arena (int32 index math:
+    # Arrow-bounded batches keep everything < 2^31)
     total_real = int(real_bytes.sum())
+    it = np.int32 if payload_bytes.size < 2**31 else np.int64
     real_starts = np.concatenate(([0], np.cumsum(real_bytes)))[:-1]
-    rel_pos = np.arange(total_real)
+    rel_pos = np.arange(total_real, dtype=it)
     byte_gaps = np.concatenate(([0], np.cumsum(pad_bytes - real_bytes)))[:-1]
-    arena[rel_pos + np.repeat(byte_gaps, real_bytes)] = payload_bytes[
-        rel_pos + np.repeat(row_payload_starts - real_starts, real_bytes)]
+    arena[rel_pos + np.repeat(byte_gaps.astype(it), real_bytes)] = \
+        payload_bytes[rel_pos + np.repeat(
+            (row_payload_starts - real_starts).astype(it), real_bytes)]
     # word-wise unpack (inverse of batch_encode._group_pack): each group of
     # `width` arena bytes holds 8 values; value i = bits [i*w, (i+1)*w) of
-    # the group's little-endian bitstream, extracted via an 8-byte window
-    # load + shift + mask — no (N, width) bit matrix.
+    # the group's little-endian bitstream, extracted via a window load +
+    # shift + mask — no (N, width) bit matrix. The window and the value
+    # matrix stay 4-byte when the shifted value fits 32 bits (mirrors the
+    # encode side; memory bandwidth is the scaling ceiling).
     k = total_pad // width
     grp = arena.reshape(k, width)
-    window = np.zeros((k, 8), dtype=np.uint8)
-    vals = np.empty((k, 8), dtype=np.uint64)
-    mask = np.uint64((1 << width) - 1)
+    narrow = width <= 32
+    vals = np.empty((k, 8), dtype=np.uint32 if narrow else np.uint64)
+    window32 = np.zeros((k, 4), dtype=np.uint8) if narrow else None
+    window64 = None
+    mask64 = np.uint64((1 << width) - 1)
     for i in range(8):
         byte0, shift = divmod(i * width, 8)
         nb = (width + shift + 7) // 8  # window covers bits [shift, shift+w)
-        window[:, :nb] = grp[:, byte0:byte0 + nb]
-        if nb < 8:
-            window[:, nb:] = 0
-        vals[:, i] = (window.view("<u8").ravel() >> np.uint64(shift)) & mask
+        if narrow and width + shift <= 32:
+            window32[:, :nb] = grp[:, byte0:byte0 + nb]
+            if nb < 4:
+                window32[:, nb:] = 0
+            vals[:, i] = (window32.view("<u4").ravel() >> np.uint32(shift)) \
+                & np.uint32((1 << width) - 1)
+        else:
+            if window64 is None:
+                window64 = np.zeros((k, 8), dtype=np.uint8)
+            window64[:, :nb] = grp[:, byte0:byte0 + nb]
+            if nb < 8:
+                window64[:, nb:] = 0
+            v = (window64.view("<u8").ravel() >> np.uint64(shift)) & mask64
+            vals[:, i] = v.astype(vals.dtype, copy=False)
     # drop per-row padding values
     total_vals = int(counts.sum())
     val_gaps = np.concatenate(([0], np.cumsum(pad_counts - counts)))[:-1]
-    keep_idx = np.arange(total_vals) + np.repeat(val_gaps, counts)
+    keep_idx = np.arange(total_vals, dtype=np.int64) \
+        + np.repeat(val_gaps, counts)
     return vals.reshape(-1)[keep_idx].astype(np.int64) + np.repeat(refs, counts)
 
 

@@ -77,24 +77,42 @@ def batch_stats(values: np.ndarray, offsets: np.ndarray) -> dict[str, np.ndarray
     dmax = np.zeros(n, dtype=np.int64)
     multi = n_tok > 1
     if values.size > 1 and multi.any():
-        # d[k] = v[k+1]-v[k] in int64 (int32 deltas span up to 2^33)
-        d = np.subtract(values[1:], values[:-1], dtype=np.int64)
+        # d32[k] = v[k+1]-v[k] with int32 wraparound (half the traffic of
+        # the previous int64 diff — the stats pass is bandwidth-bound).
+        # Exactness: d32 == 0 iff the true diff is 0 (both operands are
+        # int32), so run counts are exact for EVERY row; and a row's true
+        # deltas fit int32 whenever its value span < 2^31 — which the
+        # already-computed min/max tells us — so only the rare wide-span
+        # rows take a separate exact int64 pass.
+        d32 = np.subtract(values[1:], values[:-1], dtype=np.int32)
         m_starts = starts[multi]
         m_ends = ends[multi]
         # run count: cumsum over change flags; changes within row i are
         # chg[d[start .. end-2]] = C[end-2] - C[start-1]
-        csum = np.cumsum(d != 0, dtype=np.int64)
+        csum = np.cumsum(d32 != 0, dtype=np.int32)
         hi = csum[m_ends - 2]
         lo = np.where(m_starts > 0, csum[np.maximum(m_starts, 1) - 1], 0)
         n_runs[multi] = 1 + hi - lo
         # delta ranges: neutralize inter-row boundary diffs (positions
-        # ends[i]-1) in place — d is not used after this
+        # ends[i]-1) in place — d32 is not used after this
         bpos = ends[:-1] - 1
-        bpos = bpos[(bpos >= 0) & (bpos < d.size)]
-        d[bpos] = np.iinfo(np.int64).max
-        dmin[multi] = np.minimum.reduceat(d, m_starts)
-        d[bpos] = np.iinfo(np.int64).min
-        dmax[multi] = np.maximum.reduceat(d, m_starts)
+        bpos = bpos[(bpos >= 0) & (bpos < d32.size)]
+        d32[bpos] = np.iinfo(np.int32).max
+        dmin[multi] = np.minimum.reduceat(d32, m_starts)
+        d32[bpos] = np.iinfo(np.int32).min
+        dmax[multi] = np.maximum.reduceat(d32, m_starts)
+        wide = multi & ((maxs - mins) >= 2**31)
+        if wide.any():
+            w_idx = np.flatnonzero(wide)
+            lens_w = n_tok[w_idx]
+            sel = _concat_rows(values, starts[w_idx], lens_w).astype(np.int64)
+            dsub = np.diff(sel)
+            sub_starts = np.concatenate(([0], np.cumsum(lens_w)))[:-1]
+            bpos2 = sub_starts[1:] - 1
+            dsub[bpos2] = np.iinfo(np.int64).max
+            dmin[w_idx] = np.minimum.reduceat(dsub, sub_starts)
+            dsub[bpos2] = np.iinfo(np.int64).min
+            dmax[w_idx] = np.maximum.reduceat(dsub, sub_starts)
     return {"n_tok": n_tok, "min": mins, "max": maxs, "n_runs": n_runs,
             "dmin": dmin, "dmax": dmax}
 
@@ -207,10 +225,17 @@ def _group_pack(rel: np.ndarray, row_lens: np.ndarray,
     # byte offsets — no bit scatter.
     pad_lens = (row_lens + 7) // 8 * 8
     total_pad = int(pad_lens.sum())
-    rel_pad = np.zeros(total_pad, dtype=np.uint64)
+    # u32 arena when values fit (width <= 32, i.e. everything except
+    # 33-bit fordelta deltas): the 8-wide group matrix is then 32 bytes
+    # per row instead of 64, halving the bytes streamed per shift-or pass
+    # — memory bandwidth is the measured scaling ceiling here.
+    narrow = width <= 32
+    rel_pad = np.zeros(total_pad, dtype=np.uint32 if narrow else np.uint64)
     gaps = np.concatenate(([0], np.cumsum(pad_lens - row_lens)))[:-1]
-    rel_pad[np.arange(rel.size) + np.repeat(gaps, row_lens)] = rel.astype(
-        np.uint64, copy=False)
+    idx_t = np.int32 if total_pad < 2**31 else np.int64
+    rel_pad[np.arange(rel.size, dtype=idx_t)
+            + np.repeat(gaps.astype(idx_t), row_lens)] = \
+        rel.astype(rel_pad.dtype, copy=False)
     k = total_pad // 8
     grp = rel_pad.reshape(k, 8)
     out = np.zeros((k, width), dtype=np.uint8)
@@ -218,8 +243,13 @@ def _group_pack(rel: np.ndarray, row_lens: np.ndarray,
         # value i of each group occupies stream bits [i*w, (i+1)*w)
         byte0, shift = divmod(i * width, 8)
         nb = (width + shift + 7) // 8  # <= 8 while width <= 57
-        t = (grp[:, i] << np.uint64(shift)).astype("<u8", copy=False)
-        out[:, byte0:byte0 + nb] |= t.view(np.uint8).reshape(k, 8)[:, :nb]
+        if narrow and width + shift <= 32:
+            # whole shifted value fits a u32 window: stay 4-byte end-to-end
+            t = (grp[:, i] << np.uint32(shift)).astype("<u4", copy=False)
+            out[:, byte0:byte0 + nb] |= t.view(np.uint8).reshape(k, 4)[:, :nb]
+        else:
+            t = (grp[:, i].astype("<u8") << np.uint64(shift))
+            out[:, byte0:byte0 + nb] |= t.view(np.uint8).reshape(k, 8)[:, :nb]
     pad_starts = np.concatenate(([0], np.cumsum(pad_lens)))[:-1]
     # row i's payload = packed[pad_starts[i]*w/8 : +nbytes[i]]
     pad_byte_off = pad_starts * width // 8
@@ -244,15 +274,20 @@ def _put_i64(data: np.ndarray, pos: np.ndarray, vals: np.ndarray) -> None:
 def _copy_into(data: np.ndarray, dst_pos: np.ndarray, src: np.ndarray,
                src_pos: np.ndarray, nbytes: np.ndarray) -> None:
     """Vectorized per-row memcpy: src[src_pos[i] : +nbytes[i]] ->
-    data[dst_pos[i] : +nbytes[i]] for every row i, one fancy-index pass."""
+    data[dst_pos[i] : +nbytes[i]] for every row i, one fancy-index pass.
+    Index math runs in int32 when both buffers allow it (they do for any
+    Arrow-bounded batch) — index arrays are half the memory traffic of the
+    copy itself otherwise."""
     nbytes = np.asarray(nbytes, dtype=np.int64)
     total = int(nbytes.sum())
     if total == 0:
         return
+    it = np.int32 if (data.size < 2**31 and src.size < 2**31) else np.int64
     pref = np.concatenate(([0], np.cumsum(nbytes)))[:-1]
-    r = np.arange(total)
-    data[r + np.repeat(np.asarray(dst_pos, dtype=np.int64) - pref, nbytes)] = \
-        src[r + np.repeat(np.asarray(src_pos, dtype=np.int64) - pref, nbytes)]
+    r = np.arange(total, dtype=it)
+    dst_off = (np.asarray(dst_pos, dtype=np.int64) - pref).astype(it)
+    src_off = (np.asarray(src_pos, dtype=np.int64) - pref).astype(it)
+    data[r + np.repeat(dst_off, nbytes)] = src[r + np.repeat(src_off, nbytes)]
 
 
 def encode_batch_columnar(values: np.ndarray, offsets: np.ndarray,
@@ -403,7 +438,13 @@ def encode_batch_columnar(values: np.ndarray, offsets: np.ndarray,
             grp = rows[w_arr == w]
             lens = n_tok[grp]
             sel = _concat_rows(values, starts[grp], lens)
-            rel = (sel - np.repeat(s["min"][grp], lens)).astype(np.uint64)
+            # int32 wrap-around subtract: (v - min) mod 2^32 equals the
+            # true relative value for any int32 pair (span <= 2^32-1), so
+            # the u32 view is exact — and the whole rel path stays 4-byte
+            # instead of paying an int64 temp per token.
+            m32 = s["min"][grp].astype(np.int32)
+            rel = np.subtract(sel, np.repeat(m32, lens),
+                              dtype=np.int32).view(np.uint32)
             buf, nbytes, boff = _group_pack(rel, lens, int(w))
             if int(w):
                 _copy_into(data, off[grp] + 18, buf, boff, nbytes)
@@ -505,8 +546,11 @@ def encode_batch(values: np.ndarray, offsets: np.ndarray,
 
 
 def _concat_rows(v64: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Gather a group's rows into one contiguous array (vectorized take)."""
+    """Gather a group's rows into one contiguous array (vectorized take).
+    int32 index math when the source allows (always within an Arrow batch)."""
     total = int(lens.sum())
+    it = np.int32 if v64.size < 2**31 else np.int64
     row_pref = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    idx = np.arange(total) + np.repeat(starts - row_pref, lens)
+    idx = np.arange(total, dtype=it) + np.repeat(
+        (starts - row_pref).astype(it), lens)
     return v64[idx]

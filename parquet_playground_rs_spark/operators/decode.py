@@ -73,6 +73,40 @@ def decode_blocks(encoded: DataFrame) -> DataFrame:
     return encoded.select(*cols).mapInArrow(mapper, DECODED_DDL)
 
 
+def decode_blocks_rowwise(encoded: DataFrame) -> DataFrame:
+    """Row-by-row decode — the S5/A6 BENCHMARK CONTRAST path, never the
+    production one (mirrors the reference keeping a row-by-row Parquet
+    reader purely to benchmark against its columnar reader,
+    /root/reference/src/bin/parqbench/main.rs:33-39, :113-169).
+
+    Same output as decode_blocks; each blob goes through the per-row
+    kernel decoder in a Python loop. bench.py measures the ratio; the
+    rowwise_columnar_equiv driver query proves the outputs identical.
+    """
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            blocks = batch.column("block")
+            rows = [kernels.decode(blocks[i].as_py())
+                    for i in range(batch.num_rows)]
+            lens = np.array([r.size for r in rows], dtype=np.int64)
+            flat = np.concatenate(rows) if rows else np.empty(0, np.int32)
+            tokens = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(lens))),
+                         type=pa.int32()),
+                pa.array(flat, type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), batch.column("source"),
+                 batch.column("chunk_idx"), batch.column("n_chunks"),
+                 tokens],
+                schema=_DECODED_ARROW_SCHEMA)
+
+    cols = ["doc_id", "source", "chunk_idx", "n_chunks", "block"]
+    return encoded.select(*cols).mapInArrow(mapper, DECODED_DDL)
+
+
 _EXPENSIVE_PLAN_NODES = (
     "MapInArrow", "PythonMapInArrow", "MapInPandas", "Join", "Aggregate",
     "Generate", "Window", "Sort", "MapPartitions", "Expand",

@@ -73,9 +73,36 @@ def list_to_numpy(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return values, offsets
 
 
+def _split_offsets(offsets: np.ndarray, chunk_size: int):
+    """Refine a list-offsets array so no row exceeds chunk_size — the
+    zero-copy twin of split_skew: the values buffer is untouched, chunks
+    are adjacent slices, so the refined array is itself a valid offsets
+    array. Returns (new_offsets, parent row index per chunk, chunk_idx,
+    n_chunks per chunk row)."""
+    lens = np.diff(offsets)
+    n_chunks = np.maximum(-(-lens // chunk_size), 1)
+    m = int(n_chunks.sum())
+    row_rep = np.repeat(np.arange(lens.size), n_chunks)
+    pref = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+    chunk_idx = (np.arange(m) - np.repeat(pref, n_chunks)).astype(np.int64)
+    starts_out = offsets[:-1][row_rep] + chunk_idx * chunk_size
+    new_offsets = np.concatenate((starts_out, offsets[-1:]))
+    n_chunks_out = np.repeat(n_chunks, n_chunks)
+    return new_offsets, row_rep, chunk_idx.astype(np.int32), \
+        n_chunks_out.astype(np.int32)
+
+
 def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True,
-                       fsst_min_ratio: float = 3.0) -> pa.RecordBatch:
-    """Encode one Arrow batch of (doc_id, source, chunk_idx, n_chunks, tokens).
+                       fsst_min_ratio: float = 3.0,
+                       chunk_size: int | None = None) -> pa.RecordBatch:
+    """Encode one Arrow batch.
+
+    Two input shapes:
+    - pre-chunked (doc_id, source, chunk_idx, n_chunks, tokens) — the
+      JVM split_skew path; chunk_size=None.
+    - raw (doc_id, source, tokens) with chunk_size set — the skew split
+      happens HERE as pure offsets arithmetic (_split_offsets): no JVM
+      Generate copy, no values movement at all.
 
     Fully batch-vectorized (functions/batch_encode.py): segmented stats +
     group packing; no per-row Python in the hot path. fsst_min_ratio tunes
@@ -87,7 +114,21 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True,
     from ..functions import batch_encode
 
     values, offsets = list_to_numpy(batch.column("tokens"))
-    n = batch.num_rows
+    if chunk_size is None:
+        n = batch.num_rows
+        doc_id_arr = batch.column("doc_id")
+        source_arr = batch.column("source")
+        chunk_idx_arr = batch.column("chunk_idx")
+        n_chunks_arr = batch.column("n_chunks")
+    else:
+        offsets, row_rep, chunk_idx, n_chunks_out = _split_offsets(
+            offsets, chunk_size)
+        n = chunk_idx.size
+        take = pa.array(row_rep, type=pa.int64())
+        doc_id_arr = pc.take(batch.column("doc_id"), take)
+        source_arr = pc.take(batch.column("source"), take)
+        chunk_idx_arr = pa.array(chunk_idx, type=pa.int32())
+        n_chunks_arr = pa.array(n_chunks_out, type=pa.int32())
 
     data, blob_offsets, codec_ids, s, aux = batch_encode.encode_batch_columnar(
         values, offsets, enable_fsst=enable_fsst,
@@ -127,10 +168,10 @@ def encode_arrow_batch(batch: pa.RecordBatch, enable_fsst: bool = True,
     )
     return pa.RecordBatch.from_arrays(
         [
-            batch.column("doc_id"),
-            batch.column("source"),
-            batch.column("chunk_idx"),
-            batch.column("n_chunks"),
+            doc_id_arr,
+            source_arr,
+            chunk_idx_arr,
+            n_chunks_arr,
             codecs,
             blocks,
             meta,
@@ -214,20 +255,47 @@ def salted_repartition(df: DataFrame, num_partitions: int,
 def encode_tokens(df: DataFrame, chunk_size: int = DEFAULT_CHUNK,
                   num_partitions: int | None = None,
                   enable_fsst: bool = True,
-                  fsst_min_ratio: float = 3.0) -> DataFrame:
-    """Full encode operator: skew split -> salted repartition -> Arrow encode.
+                  fsst_min_ratio: float = 3.0,
+                  mapper_split: bool | None = None) -> DataFrame:
+    """Full encode operator: skew split -> [salted repartition] -> encode.
 
     Input:  (doc_id string, tokens array<int>, n_tok int, source string)
     Output: ENCODED_DDL rows, one per (doc_id, chunk_idx).
+
+    Split placement: by default the skew split runs INSIDE the Arrow
+    mapper as offsets arithmetic (zero data copy — measured ~18% of the
+    map-only job was the JVM Generate/posexplode copy). When
+    num_partitions is set the split must happen JVM-side instead, so the
+    salted repartition can balance chunk rows across the shuffle
+    (mapper_split=False forces the JVM path explicitly). Arrow batches
+    stay bounded either way via spark.sql.execution.arrow.maxBytesPerBatch;
+    the mapper path additionally requires single documents to fit one
+    Arrow row (< 2^31 tokens) — true by construction for training
+    sequences, and the JVM path remains available for anything wilder.
     """
-    chunked = split_skew(df, chunk_size)
-    if num_partitions:
-        chunked = salted_repartition(chunked, num_partitions)
+    if mapper_split is None:
+        mapper_split = num_partitions is None
+    if not mapper_split:
+        chunked = split_skew(df, chunk_size)
+        if num_partitions:
+            chunked = salted_repartition(chunked, num_partitions)
+
+        def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                if batch.num_rows:
+                    yield encode_arrow_batch(batch, enable_fsst=enable_fsst,
+                                             fsst_min_ratio=fsst_min_ratio)
+
+        return chunked.mapInArrow(mapper, ENCODED_DDL)
+
+    src = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "source", "tokens")
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows:
                 yield encode_arrow_batch(batch, enable_fsst=enable_fsst,
-                                         fsst_min_ratio=fsst_min_ratio)
+                                         fsst_min_ratio=fsst_min_ratio,
+                                         chunk_size=chunk_size)
 
-    return chunked.mapInArrow(mapper, ENCODED_DDL)
+    return src.mapInArrow(mapper, ENCODED_DDL)

@@ -41,6 +41,27 @@ def test_stats_match_per_row():
             assert s["dmax"][i] == ref.delta_max, i
 
 
+def test_stats_wide_span_rows_exact():
+    """Rows whose value span >= 2^31 (33-bit deltas) must get exact delta
+    ranges from the int64 side pass, interleaved with narrow rows that take
+    the int32 fast path."""
+    wide1 = np.array([-(2**31), 2**31 - 1, 0, -(2**31), 5], dtype=np.int32)
+    narrow = np.cumsum(rng.integers(0, 9, 50)).astype(np.int32)
+    wide2 = np.array([2**31 - 1, -(2**31)], dtype=np.int32)
+    arrays = [narrow, wide1, narrow[::-1].copy(), wide2, narrow]
+    values, offsets = make_batch(arrays)
+    s = batch_encode.batch_stats(values, offsets)
+    for i, a in enumerate(arrays):
+        ref = selector.compute_stats(a)
+        assert s["dmin"][i] == ref.delta_min, (i, s["dmin"][i], ref.delta_min)
+        assert s["dmax"][i] == ref.delta_max, (i, s["dmax"][i], ref.delta_max)
+        assert s["n_runs"][i] == ref.n_runs
+    # and the full encode of this batch still round-trips
+    blobs, _, _, _ = batch_encode.encode_batch(values, offsets)
+    for blob, a in zip(blobs, arrays):
+        np.testing.assert_array_equal(kernels.decode(blob), a)
+
+
 def test_sizes_not_worse_than_per_row_selector():
     """Batch path may skip the dict codec on probed-out rows, but must never
     exceed plain, and on the edge set must be within 5% of per-row total."""

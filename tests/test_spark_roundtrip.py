@@ -102,6 +102,38 @@ def test_scan_input_decode_skips_materialization(spark, seq, tmp_path):
     assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
 
 
+def test_split_offsets_edges():
+    """Mapper-side split: offsets refinement must mirror split_skew exactly
+    (empty rows, exact multiples, 1-token rows, long tails)."""
+    offsets = np.array([0, 0, 5, 5, 21, 22, 1046], dtype=np.int64)
+    new_off, row_rep, chunk_idx, n_chunks = enc._split_offsets(offsets, 8)
+    lens = np.diff(offsets)
+    exp_chunks = [1, 1, 1, 2, 1, 128]
+    assert list(np.bincount(row_rep, minlength=6)) == exp_chunks
+    assert new_off[0] == 0 and new_off[-1] == 1046
+    out_lens = np.diff(new_off)
+    assert out_lens.max() <= 8 and (out_lens >= 0).all()
+    # per-parent reassembly
+    for i in range(6):
+        assert out_lens[row_rep == i].sum() == lens[i]
+    # chunk_idx sequential per parent, n_chunks constant per parent
+    for i in range(6):
+        ci = chunk_idx[row_rep == i]
+        assert list(ci) == list(range(exp_chunks[i]))
+        assert set(n_chunks[row_rep == i]) == {exp_chunks[i]}
+
+
+def test_mapper_split_equals_jvm_split(spark, seq):
+    """Both split placements must produce identical encoded chunk sets."""
+    a = enc.encode_tokens(seq, chunk_size=512, mapper_split=True)
+    b = enc.encode_tokens(seq, chunk_size=512, mapper_split=False)
+    cols = ["doc_id", "chunk_idx", "n_chunks", "codec"]
+    ha = a.select(*cols, F.xxhash64("block").alias("h"))
+    hb = b.select(*cols, F.xxhash64("block").alias("h"))
+    assert ha.exceptAll(hb).count() == 0
+    assert hb.exceptAll(ha).count() == 0
+
+
 def test_skew_split_chunks_longtail(spark, seq):
     chunked = enc.split_skew(seq, chunk_size=512)
     # every chunk obeys the size cap
@@ -161,6 +193,18 @@ def test_encoded_sink_writer_config(spark, seq, tmp_path):
     res = dec.verify_roundtrip(
         seq, dec.decode_tokens(spark.read.parquet(out))).first()
     assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+
+
+def test_rowwise_decoder_matches_columnar(spark, seq):
+    """S5/A6 contrast path: identical output, different execution shape."""
+    encoded = enc.encode_tokens(seq.limit(80), chunk_size=256).cache()
+    key = ["doc_id", "chunk_idx"]
+    a = {tuple(r[k] for k in key): r["tokens"]
+         for r in dec.decode_blocks(encoded).collect()}
+    b = {tuple(r[k] for k in key): r["tokens"]
+         for r in dec.decode_blocks_rowwise(encoded).collect()}
+    assert a == b and len(a) >= 80
+    encoded.unpersist()
 
 
 def test_verify_catches_corruption(spark, seq):
