@@ -590,6 +590,84 @@ FROM pairs
 """
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup DEDUP: minhash pairs -> connected components ->
+    keep min-id representative per cluster. Oracle-checked: DuckDB
+    recomputes the >=0.8-Jaccard pairs brute-force and the components
+    with a recursive CTE; outputs are integers only."""
+    from parquet_playground_rs_spark.operators import components, dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup(docs, n=3, k=64, bands=16, threshold=0.8) \
+        .select("doc_a", "doc_b")
+    comp = components.connected_components(pairs)
+    comp_stats = comp.agg(
+        F.countDistinct("comp").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_clustered"),
+        F.sum(F.when(F.col("id") != F.col("comp"), F.col("id"))
+              .otherwise(0)).cast("long").alias("_removed_sum"),
+    )
+    doc_stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("_id_sum"),
+    )
+    return doc_stats.crossJoin(comp_stats).select(
+        "n_docs", "n_clusters", "n_clustered",
+        (F.col("_id_sum") - F.col("_removed_sum")).cast("long")
+        .alias("kept_checksum"),
+    )
+
+
+_Q_NEAR_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM ws, UNNEST(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    END) AS t(s)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a
+  WHERE e.b <> reach.a
+),
+comp AS (
+  SELECT a AS id,
+         CASE WHEN min(b) < a THEN min(b) ELSE a END AS comp
+  FROM reach GROUP BY a
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(count(DISTINCT c.comp) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_clustered,
+       CAST((SELECT sum(doc_id) FROM documents)
+            - sum(CASE WHEN c.id <> c.comp THEN c.id ELSE 0 END)
+            AS BIGINT) AS kept_checksum
+FROM comp c
+"""
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH, exact re-score.
 
@@ -664,6 +742,28 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(total), int(hits), float(hits) / max(total, 1))],
         "n_exact bigint, n_lsh_hits bigint, recall double",
+    )
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (coarse k-means cells + nprobe exact re-score);
+    reports recall vs brute force. Rows-only: centroids come from
+    driver-side Lloyd on a hash sample — not SQL-expressible."""
+    from parquet_playground_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries_df = emb.limit(20)
+    bf = similarity.brute_force_topk(emb, queries_df, k=5)
+    ivf = similarity.ivf_topk(emb, queries_df, dim=dim, k=5,
+                              n_centroids=16, nprobe=6)
+    bfp = bf.select("query_id", "neighbor_id")
+    hits = bfp.join(ivf.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"], "left_semi").count()
+    total = bfp.count()
+    return spark.createDataFrame(
+        [(int(total), int(hits), float(hits) / max(total, 1))],
+        "n_exact bigint, n_ivf_hits bigint, recall double",
     )
 
 
@@ -869,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
         "json_props": _q_json_props,
@@ -901,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": _Q_JSON_PROPS_SQL,
         "minhash_near_dups": _Q_MINHASH_SQL,
         "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,
+        "near_dup_clusters": _Q_NEAR_DUP_CLUSTERS_SQL,
         # simhash_near_dups: xxhash64 signatures not reproducible in DuckDB
         #   -> rows-only
         # ann_topk / multimodal_features: float top-k ordering + binary

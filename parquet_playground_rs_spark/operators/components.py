@@ -1,0 +1,72 @@
+"""Connected components over near-duplicate pair edges.
+
+Near-dup detection (minhash/simhash/embedding) yields PAIRS; an actual
+dedup needs CLUSTERS — docs joined transitively — with one representative
+kept per cluster. This is min-label propagation, the standard
+alternating-iteration formulation (cf. the large-star/small-star
+algorithm, Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public literature, no reference analog):
+
+- each node starts labeled with itself;
+- every round each node takes min(own label, neighbors' labels);
+- converges in O(log n) rounds; near-dup clusters are tiny and star-like
+  so 3-5 rounds is typical.
+
+Scale notes: every round is one join + one groupBy on (node) — hash
+shuffles on the edge list only (near-dup edges are a vanishing fraction
+of the corpus). Lineage is cut per round with localCheckpoint, otherwise
+the iterative plan grows exponentially and the driver dies at planning
+time long before data moves — the classic iterative-Spark trap. The loop
+stops early when an AQE-sized count shows no label changed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20,
+                         id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """(id, component) for every node appearing in `pairs`; component =
+    the minimum node id reachable through the pair edges (deterministic).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("id").alias("dst"),
+                                     F.col("comp").alias("dst_comp")), "dst")
+            .groupBy("src").agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("comp"),
+                        F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                .alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                 < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage; also materializes
+        )
+        n_changed = updated.filter("_changed").count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(docs: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster; docs in no
+    cluster survive untouched. Returns the surviving rows of `docs`."""
+    comp = connected_components(pairs)
+    tagged = docs.join(
+        comp.select(F.col("id").alias(id_col), "comp"), id_col, "left")
+    keep = F.col("comp").isNull() | (F.col(id_col) == F.col("comp"))
+    return tagged.filter(keep).drop("comp")

@@ -153,6 +153,99 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_fit(X: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd iterations on a (small) sample matrix.
+    Init = evenly strided rows of the (already hash-ordered) sample."""
+    n = X.shape[0]
+    k = min(k, n)
+    C = X[np.linspace(0, n - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def train_ivf_centroids(corpus: DataFrame, dim: int, n_centroids: int = 16,
+                        sample: int = 2048, iters: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Coarse-quantizer centroids from a deterministic hash-ordered sample.
+
+    The sample is the `sample` lowest-xxhash64 rows (TakeOrdered — a
+    distributed top-k, no full sort, rerun-stable), Lloyd runs driver-side
+    in numpy: the model is tiny; only training DATA selection is
+    distributed. Mirrors how IVF indexes are built at corpus scale."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("e"),
+                      F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h").limit(sample).collect()
+    )
+    X = np.array([r["e"] for r in rows], dtype=np.float64)
+    return _kmeans_fit(X, n_centroids, iters)
+
+
+def _cell_scores(vec_col: str, C: np.ndarray):
+    """Array of affinity scores x·c_j - |c_j|^2/2 (argmax = nearest
+    centroid by L2), as JVM literal expressions."""
+    half_norms = (C * C).sum(axis=1) / 2.0
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.array(*[F.lit(float(w)) for w in C[j]]),
+                       lambda x, y: x * y),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v,
+        ) - F.lit(float(half_norms[j]))
+        for j in range(C.shape[0])
+    ])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, sample: int = 2048,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into n_centroids cells,
+    probe each query's nprobe nearest cells, exact cosine re-score inside
+    the probed cells only (the classic IVF-Flat recall/cost dial; the
+    complement to sign-LSH's `lsh_topk`).
+
+    The corpus shuffles once on cell id; queries are broadcast. At 10^12
+    rows the cell table is a partitioned layout you'd persist — here it's
+    one pass."""
+    C = centroids if centroids is not None else train_ivf_centroids(
+        corpus, dim, n_centroids, sample, id_col=id_col, vec_col=vec_col)
+    scores = _cell_scores(vec_col, C)
+    cell_of = F.array_position(scores, F.array_max(scores)).cast("int")
+    c_assigned = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"),
+        cell_of.alias("cell"))
+    # per-query probed cells: indexes of the nprobe largest scores
+    ranked = F.slice(
+        F.array_sort(
+            F.zip_with(scores,
+                       F.sequence(F.lit(1), F.lit(int(C.shape[0]))),
+                       lambda s, i: F.struct((-s).alias("neg"),
+                                             i.alias("idx")))),
+        1, nprobe)
+    q_assigned = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qu"),
+        F.explode(F.transform(ranked, lambda s: s["idx"])).alias("cell"))
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                _dot(F.col("cu"), F.col("qu")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
 def embedding_near_dups(corpus: DataFrame, dim: int, threshold: float = 0.95,
                         n_planes: int = 16, bands: int = 4, seed: int = 42,
                         id_col: str = "vec_id", vec_col: str = "embedding",

@@ -51,13 +51,16 @@ def main() -> None:
         seq.write.mode("overwrite").parquet("/tmp/plans_seq")
         seq = spark.read.parquet("/tmp/plans_seq")
 
-    # 1. encode: must be shuffle-free without salting
+    # 1. encode: must be shuffle-free without salting; with the default
+    # mapper-side split there must be no Generate (posexplode) copy either
     p = plan_of(enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK))
     sections.append((
-        "Encode (no salting): shuffle-free",
+        "Encode (no salting, mapper-side split): shuffle-free, no Generate",
         p,
         ["assert 'Exchange' not in plan -> %s" % ("PASS" if "Exchange" not in p else "FAIL"),
-         "MapInArrow stages present -> %s" % ("PASS" if "MapInArrow" in p or "ArrowEvalPython" in p or "PythonMapInArrow" in p else "CHECK")],
+         "MapInArrow stages present -> %s" % ("PASS" if "MapInArrow" in p or "ArrowEvalPython" in p or "PythonMapInArrow" in p else "CHECK"),
+         "no Generate/posexplode node (split is offsets arithmetic in the "
+         "mapper) -> %s" % ("PASS" if "Generate" not in p else "FAIL")],
     ))
 
     # 2. pushdown: filter + projection reach the parquet scan
@@ -82,17 +85,61 @@ def main() -> None:
         ["BroadcastHashJoin present -> %s" % ("PASS" if "BroadcastHashJoin" in p else "FAIL")],
     ))
 
-    # 4. decode reassembly: single-chunk slice must not shuffle
+    # 4. decode reassembly over a COMPOSED encode: the input must be
+    # persisted so encode runs once (round-1 finding: both filter branches
+    # re-executed the whole upstream — encode ran 2x)
     encoded = enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK)
     p = plan_of(dec.decode_tokens(encoded))
-    # formatted explain prints each node in the tree AND a detail section;
-    # count detail headers only
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    n_maps = len(re.findall(r"\(\d+\) (?:Python)?MapInArrow", p))
     sections.append((
-        "Decode + reassembly: shuffle only on the multi-chunk branch",
+        "Decode + reassembly of a composed encode: single-execution",
         p,
         [f"Exchange count = {n_exchanges} (expected: 1, for the rare "
-         "multi-chunk groupBy; single-chunk rows bypass it via union)"],
+         "multi-chunk groupBy; single-chunk rows bypass it via union)",
+         "InMemoryTableScan present (both branches read the persisted "
+         "encode, not a replay) -> %s"
+         % ("PASS" if "InMemoryTableScan" in p else "FAIL"),
+         f"MapInArrow nodes printed = {n_maps} (expected: 3 — two live "
+         "decode branches + the ONE cached encode inside the "
+         "InMemoryRelation definition, which executes once; round 1 had "
+         "two full encode+decode chains executing)"],
+    ))
+
+    # 4b. decode over a parquet scan: no persist, n_chunks filter pushed
+    enc.write_encoded(enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK),
+                      "/tmp/plans_encoded")
+    p = plan_of(dec.decode_tokens(spark.read.parquet("/tmp/plans_encoded")))
+    sections.append((
+        "Decode of an encoded parquet table: free re-scan, pushed filters",
+        p,
+        ["no InMemoryTableScan (re-scan is free) -> %s"
+         % ("PASS" if "InMemoryTableScan" not in p else "FAIL"),
+         "n_chunks filter pushed to scan -> %s"
+         % ("PASS" if "n_chunks" in p and "PushedFilters" in p else "CHECK")],
+    ))
+
+    # 4c. vocab build: the rank must not move the word set to one task
+    p = plan_of(build_vocab(docs))
+    sections.append((
+        "Vocabulary rank: range-partitioned two-pass, no global window",
+        p,
+        ["no SinglePartition exchange -> %s"
+         % ("PASS" if "SinglePartition" not in p else "FAIL")],
+    ))
+
+    # 4d. minhash confirm: candidate-first (no semi-join above the agg)
+    from parquet_playground_rs_spark.operators import dedup
+    sh = dedup.word_shingles(docs.limit(200), n=3)
+    sigs = dedup.minhash_signatures(sh, k=32)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    opt = dedup.jaccard_pairs(sh, min_jaccard=0.8, pairs=cand) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    sections.append((
+        "MinHash exact-Jaccard confirm: candidate-first",
+        opt[:4000],
+        ["no LeftSemi above the aggregation (candidates join below it) "
+         "-> %s" % ("PASS" if "LeftSemi" not in opt else "FAIL")],
     ))
 
     # 5. ANN: query side broadcast

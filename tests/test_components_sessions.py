@@ -1,0 +1,118 @@
+"""Connected-components dedup + stateful streaming sessionization."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_playground_rs_spark.operators import components
+
+
+def test_connected_components_basic(spark):
+    # two clusters {1,2,3,7} (chain) and {10,11}, singleton edges none
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long")
+    got = {r["id"]: r["comp"]
+           for r in components.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_order_invariant(spark):
+    # same graph, reversed/duplicated edges
+    pairs = spark.createDataFrame(
+        [(7, 3), (2, 1), (3, 2), (11, 10), (2, 3)], "doc_a long, doc_b long")
+    got = {r["id"]: r["comp"]
+           for r in components.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_dedup_by_components(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 7, 10, 11, 99]],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long")
+    kept = {r["doc_id"]
+            for r in components.dedup_by_components(docs, pairs).collect()}
+    assert kept == {1, 10, 99}
+
+
+def _expected_sessions(events, gap):
+    """Reference batch sessionization: list of (user, start, end, n, sum)
+    including the open tail."""
+    out = []
+    by_user = {}
+    for e in sorted(events, key=lambda e: (e[1], e[3])):
+        by_user.setdefault(e[1], []).append(e)
+    for uid, evs in by_user.items():
+        cur = [evs[0]]
+        for e in evs[1:]:
+            if e[3] - cur[-1][3] > gap:
+                out.append((uid, cur[0][3], cur[-1][3], len(cur),
+                            sum(x[4] for x in cur)))
+                cur = [e]
+            else:
+                cur.append(e)
+        out.append((uid, cur[0][3], cur[-1][3], len(cur),
+                    sum(x[4] for x in cur)))
+    return out
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    from parquet_playground_rs_spark.streaming.sessions import sessionize_stream
+
+    in_dir = str(tmp_path / "events_in")
+    out_dir = str(tmp_path / "sessions_out")
+    base = 1_600_000_000
+    # user 1: two sessions split by a 1000s gap; user 2: one session
+    wave1 = [
+        (1, 1, "click", base + 0, 1.0, "{}"),
+        (2, 1, "click", base + 100, 2.0, "{}"),
+        (3, 2, "view", base + 50, 5.0, "{}"),
+        (4, 1, "click", base + 1200, 3.0, "{}"),  # gap 1100 > 300 -> new
+    ]
+    # wave 2: user 1 continues session 2; user 2 starts session 2
+    wave2 = [
+        (5, 1, "buy", base + 1300, 4.0, "{}"),
+        (6, 2, "view", base + 2000, 6.0, "{}"),   # gap 1950 -> new session
+    ]
+
+    def write_wave(events):
+        df = (
+            spark.createDataFrame(
+                list(events),
+                "event_id long, user_id long, event_type string, "
+                "ts_sec long, value double, props string")
+            .withColumn("ts", F.col("ts_sec").cast("timestamp"))
+            .select("event_id", "user_id", "event_type", "ts", "value",
+                    "props")
+        )
+        df.write.mode("append").parquet(in_dir)
+
+    write_wave(wave1)
+    q = sessionize_stream(spark, in_dir, out_dir, gap_sec=300.0,
+                          watermark="1 seconds")
+    try:
+        q.processAllAvailable()
+        write_wave(wave2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["value_sum"])
+           for r in spark.read.parquet(f"{out_dir}/data").collect()}
+    all_events = [(e[0], e[1], e[2], e[3], e[4]) for e in wave1 + wave2]
+    expected_all = _expected_sessions(all_events, 300)
+    # closed sessions = all except each user's open tail
+    tails = {}
+    for s in expected_all:
+        if s[0] not in tails or s[1] > tails[s[0]][1]:
+            tails[s[0]] = s
+    expected_closed = {(s[0], float(s[1]), float(s[2]), s[3], float(s[4]))
+                       for s in expected_all if s != tails[s[0]]}
+    assert expected_closed <= got
+    # nothing bogus: every emitted session is one of the expected ones
+    expected_any = {(s[0], float(s[1]), float(s[2]), s[3], float(s[4]))
+                    for s in expected_all}
+    assert got <= expected_any

@@ -153,6 +153,31 @@ def test_lsh_topk_recall_against_brute_force(spark, emb):
     assert recall >= 0.6, recall
 
 
+def test_ivf_topk_recall_against_brute_force(spark, emb):
+    dim = len(emb.first()["embedding"])
+    queries = emb.limit(10)
+    bf = similarity.brute_force_topk(emb, queries, k=5)
+    ivf = similarity.ivf_topk(emb, queries, dim=dim, k=5,
+                              n_centroids=8, nprobe=4)
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.6, recall
+    # nprobe = all cells -> exact (recall 1.0)
+    full = similarity.ivf_topk(emb, queries, dim=dim, k=5,
+                               n_centroids=8, nprobe=8)
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_set == bf_set
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    dim = len(emb.first()["embedding"])
+    import numpy as np
+    a = similarity.train_ivf_centroids(emb, dim, n_centroids=8)
+    b = similarity.train_ivf_centroids(emb, dim, n_centroids=8)
+    assert np.array_equal(a, b)
+
+
 def test_embedding_near_dups_finds_duplicated_vectors(spark, emb):
     dim = len(emb.first()["embedding"])
     copies = emb.limit(4).withColumn("vec_id", F.col("vec_id") + 10_000_000)
