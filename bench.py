@@ -130,6 +130,24 @@ def main() -> None:
     sample.unpersist()
     extra["decode_rowwise_over_columnar"] = round(t_row / max(t_col, 1e-9), 2)
 
+    # same contrast at the kernel level (no Spark/scheduling overhead):
+    # one output file's blobs, batch decoder vs per-row kernel loop
+    import pyarrow.parquet as pq
+
+    from parquet_playground_rs_spark.functions import batch_decode, kernels
+    f0 = sorted(str(p) for p in Path(out_dir).glob("*.parquet"))[0]
+    blocks = pq.read_table(f0, columns=["block"]).column("block") \
+        .combine_chunks()
+    t0 = time.time()
+    batch_decode.decode_binary_array(blocks)
+    t_kc = time.time() - t0
+    t0 = time.time()
+    for i in range(len(blocks)):
+        kernels.decode(blocks[i].as_py())
+    t_kr = time.time() - t0
+    extra["kernel_rowwise_over_columnar"] = round(t_kr / max(t_kc, 1e-9), 1)
+    extra["kernel_contrast_blocks"] = len(blocks)
+
     # ---- compression vs reference-config parquet (zstd + dict, plain col)
     ref_dir = os.path.join(CACHE, f"reference_parquet_{sf_name()}_{n_rows}")
     if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):
