@@ -842,25 +842,75 @@ FROM events
 
 def _q_histogram_touch_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference parqbench touch-sum (A1-A6) over the histogram-shaped
-    table (rows-only: table is generated via xxhash64)."""
+    table. ORACLE-CHECKED: the table derives every value from an md5-hex
+    hash both engines compute identically (histograms_df_oracle), so
+    DuckDB recomputes the touch-sums from the closed forms."""
     from parquet_playground_rs_spark.operators import histogram_pivot as hp
     from parquet_playground_rs_spark.sources import histograms as hs
 
-    hist = hs.histograms_df(spark, 300, n_tags=5, n_points=60, seed=42)
+    hist = hs.histograms_df_oracle(spark, 300, n_tags=5, n_points=60, seed=42)
     return hp.touch_sum(hist).select(
         "n_rows", "ts_sum", "count_sum", "sums_long_sum", "tag_chars_sum")
 
 
+# hx(s) = first 8 md5-hex chars as int — matches sources/histograms._hm
+def _hx(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+_Q_HIST_TOUCH_SQL = f"""
+WITH s AS (SELECT unnest(range(300)) AS i),
+pp AS (SELECT unnest(range(60)) AS p),
+g AS (SELECT i, p FROM s, pp),
+tt AS (SELECT i, t FROM s,
+       (SELECT unnest(['host','region','service','env','dc']) AS t))
+SELECT CAST(300 AS BIGINT) AS n_rows,
+  (SELECT CAST(sum(1577836800000
+        + ({_hx("CAST(i AS VARCHAR) || ':49'")} % 86400) * 1000
+        + p * 10000) AS BIGINT) FROM g) AS ts_sum,
+  (SELECT CAST(sum((p + 1)
+        * ({_hx("CAST(i AS VARCHAR) || ':44'")} % 50 + 1)) AS BIGINT)
+   FROM g) AS count_sum,
+  (SELECT CAST(sum(CASE
+        WHEN {_hx("CAST(i AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':45'")} % 10 = 0
+        THEN 1
+        ELSE (p + 1) * ({_hx("CAST(i AS VARCHAR) || ':46'")} % 1000)
+        END) AS BIGINT) FROM g) AS sums_long_sum,
+  (SELECT CAST(sum(length(t || '_v'
+        || CAST({_hx("CAST(i AS VARCHAR) || ':' || t || ':43'")} % 8
+                AS VARCHAR))) AS BIGINT) FROM tt) AS tag_chars_sum
+"""
+
+
 def _q_histogram_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dynamic tag pivot (P1-P4) summary (rows-only)."""
+    """Dynamic tag pivot (P1-P4) summary. ORACLE-CHECKED via the
+    md5-derived histogram table (per-key cardinalities recomputed by
+    DuckDB from the closed form)."""
     from parquet_playground_rs_spark.operators import histogram_pivot as hp
     from parquet_playground_rs_spark.sources import histograms as hs
 
-    hist = hs.histograms_df(spark, 300, n_tags=5, n_points=60, seed=42)
+    hist = hs.histograms_df_oracle(spark, 300, n_tags=5, n_points=60, seed=42)
     keys = hp.tag_key_union(hist)
     wide = hp.pivot_tags(hist, keys)
     aggs = [F.countDistinct(k).cast("long").alias(f"card_{k}") for k in keys]
     return wide.agg(F.count("*").cast("long").alias("n_rows"), *aggs)
+
+
+def _card_sql(tag: str) -> str:
+    h = _hx(f"CAST(i AS VARCHAR) || ':{tag}:43'")
+    return (f"(SELECT CAST(count(DISTINCT {h} % 8) AS BIGINT)"
+            f" FROM s) AS card_{tag}")
+
+
+_Q_HIST_PIVOT_SQL = f"""
+WITH s AS (SELECT unnest(range(300)) AS i)
+SELECT CAST(300 AS BIGINT) AS n_rows,
+  {_card_sql("dc")},
+  {_card_sql("env")},
+  {_card_sql("host")},
+  {_card_sql("region")},
+  {_card_sql("service")}
+"""
 
 
 # --- rows-only (non-SQL-expressible codec ops) ------------------------------
@@ -1004,6 +1054,40 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _Q_MINHASH_SQL,
         "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,
         "near_dup_clusters": _Q_NEAR_DUP_CLUSTERS_SQL,
+        "histogram_touch_sum": _Q_HIST_TOUCH_SQL,
+        "histogram_pivot": _Q_HIST_PIVOT_SQL,
+        # The round-trip verdicts have fully determined expected outputs
+        # (all counts equal, zero mismatches): the oracle turns "ran"
+        # into "produced exactly the correct verdict".
+        "roundtrip_verify": """
+SELECT CAST(count(*) AS BIGINT) AS n_source,
+       CAST(count(*) AS BIGINT) AS n_decoded,
+       CAST(count(*) AS BIGINT) AS n_joined,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
+        "synthetic_roundtrip": """
+SELECT CAST(500 AS BIGINT) AS n_source, CAST(500 AS BIGINT) AS n_decoded,
+       CAST(500 AS BIGINT) AS n_joined, CAST(0 AS BIGINT) AS n_mismatch
+""",
+        # media kinds derive from the md5 hash (synthetic_media_df), so
+        # the per-kind histogram + feature dim are oracle-computable
+        "multimodal_features": f"""
+WITH s AS (SELECT unnest(range(200)) AS i),
+k AS (SELECT (['image','audio','video'])[
+        CAST({_hx("CAST(i AS VARCHAR) || ':42'")} % 3 + 1 AS INT)] AS kind
+      FROM s)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(16 AS BIGINT) AS dim
+FROM k GROUP BY kind ORDER BY kind
+""",
+        # expected block count = sum of ceil(n_words / 2048) over docs
+        "rowwise_columnar_equiv": """
+SELECT CAST(sum(CAST(ceil(len(string_split(text, ' ')) / 2048.0) AS BIGINT))
+            AS BIGINT) AS n_blocks,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+""",
         # simhash_near_dups: xxhash64 signatures not reproducible in DuckDB
         #   -> rows-only
         # ann_topk / multimodal_features: float top-k ordering + binary

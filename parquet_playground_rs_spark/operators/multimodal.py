@@ -31,9 +31,18 @@ FEATURE_DDL = (
 
 
 def synthetic_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table (payload = seeded bytes).
+
+    The driving hash is md5-hex based (not xxhash64) so the DuckDB oracle
+    can recompute kind/meta distributions — same trick as
+    sources/histograms.histograms_df_oracle."""
     df = spark.range(n)
-    h = F.shiftrightunsigned(F.xxhash64("id", F.lit(seed)), 1)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("id").cast("string"),
+                              F.lit(str(seed)))), 1, 8),
+        16, 10,
+    ).cast("long")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (h % 3 + 1).cast("int"),

@@ -74,6 +74,56 @@ def histograms_df(spark: SparkSession, n_series: int, n_tags: int = 5,
     )
 
 
+def _hm(seed: int, *cols: Column) -> Column:
+    """Oracle-reproducible hash: first 8 md5-hex chars of
+    'part:part:...:seed' as an integer in [0, 2^32). Both Spark and DuckDB
+    compute md5 of the same string identically, so tables built from this
+    hash can be recomputed by the round driver's oracle — unlike xxhash64,
+    which DuckDB lacks."""
+    parts = [c.cast("string") for c in cols] + [F.lit(str(seed))]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def histograms_df_oracle(spark: SparkSession, n_series: int, n_tags: int = 5,
+                         n_points: int = 60, seed: int = 42) -> DataFrame:
+    """Same shape as histograms_df, but every derived value comes from the
+    md5-based `_hm` so a DuckDB oracle can recompute the aggregates
+    exactly (used by the histogram_touch_sum / histogram_pivot driver
+    queries)."""
+    df = spark.range(n_series)
+    i = F.col("id")
+    n_tags = min(n_tags, len(TAG_POOL))
+    tags = F.array(*[F.lit(t) for t in TAG_POOL[:n_tags]])
+    tag_values = F.transform(
+        tags, lambda t: F.concat(t, F.lit("_v"),
+                                 (_hm(seed + 1, i, t) % 8).cast("string"))
+    )
+    pts = F.sequence(F.lit(0), F.lit(n_points - 1))
+    base_ts = F.lit(1577836800000) + (_hm(seed + 7, i) % 86400).cast("long") * 1000
+    ts = F.transform(pts, lambda p: base_ts + p.cast("long") * 10000)
+    count = F.transform(pts, lambda p: (p + 1).cast("long") * (_hm(seed + 2, i) % 50 + 1))
+    sums_long = F.transform(
+        pts,
+        lambda p: F.when(_hm(seed + 3, i, p) % 10 == 0, F.lit(None).cast("long"))
+        .otherwise((p + 1).cast("long") * (_hm(seed + 4, i) % 1000)),
+    )
+    sums_double = F.transform(
+        pts,
+        lambda p: F.when(_hm(seed + 5, i, p) % 10 == 0, F.lit(None).cast("double"))
+        .otherwise(((p + 1) * (_hm(seed + 6, i) % 10000)).cast("double") / 100.0),
+    )
+    return df.select(
+        tags.alias("tags"),
+        tag_values.alias("tagValues"),
+        ts.alias("ts"),
+        sums_double.alias("sumsDouble"),
+        sums_long.alias("sumsLong"),
+        count.alias("count"),
+    )
+
+
 def read_histograms_json(spark: SparkSession, path: str,
                          mode: str = "PERMISSIVE") -> DataFrame:
     """JSON source with explicit schema; .json / .json.gz transparently.
