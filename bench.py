@@ -116,6 +116,14 @@ def main() -> None:
     extra["decode_verify_tokens_per_sec"] = round(
         total_tokens / timings["q_decode_verify"], 1)
 
+    # ---- join-free checksum verify (the 10^12-row verify path)
+    t0 = time.time()
+    v2 = dec.verify_roundtrip(
+        seq, dec.decode_tokens(spark.read.parquet(out_dir)),
+        method="checksum").first()
+    extra["q_verify_checksum_sec"] = round(time.time() - t0, 3)
+    extra["checksum_mismatch"] = int(v2["n_mismatch"])
+
     # ---- rowwise-vs-columnar decode contrast (the reference's parqbench
     # row-by-row vs columnar reader comparison, main.rs:33-39) on a
     # bounded sample — the ratio is the point, not the absolute time

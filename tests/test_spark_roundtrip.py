@@ -195,6 +195,37 @@ def test_encoded_sink_writer_config(spark, seq, tmp_path):
     assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
 
 
+def test_checksum_verify_matches_and_catches_corruption(spark, seq):
+    """Join-free checksum verify: clean round-trip -> 0; any single-row
+    corruption or row loss -> -1."""
+    encoded = enc.encode_tokens(seq, chunk_size=512)
+    decoded = dec.decode_tokens(encoded)
+    ok = dec.verify_roundtrip(seq, decoded, method="checksum").first()
+    assert ok["n_mismatch"] == 0
+    assert ok["n_source"] == ok["n_decoded"] == N_ROWS
+    # content corruption
+    bad = decoded.withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == "doc_000000000003",
+               F.array(F.lit(999))).otherwise(F.col("tokens")))
+    assert dec.verify_roundtrip(seq, bad, method="checksum") \
+        .first()["n_mismatch"] == -1
+    # row loss
+    missing = decoded.filter(F.col("doc_id") != "doc_000000000005")
+    assert dec.verify_roundtrip(seq, missing, method="checksum") \
+        .first()["n_mismatch"] == -1
+    # doc_id swap of two rows' tokens must be caught (id is in the hash)
+    swapped = decoded.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == "doc_000000000003",
+               "doc_000000000004")
+        .when(F.col("doc_id") == "doc_000000000004",
+              "doc_000000000003")
+        .otherwise(F.col("doc_id")))
+    assert dec.verify_roundtrip(seq, swapped, method="checksum") \
+        .first()["n_mismatch"] == -1
+
+
 def test_rowwise_decoder_matches_columnar(spark, seq):
     """S5/A6 contrast path: identical output, different execution shape."""
     encoded = enc.encode_tokens(seq.limit(80), chunk_size=256).cache()
