@@ -142,6 +142,39 @@ def main() -> None:
          "-> %s" % ("PASS" if "LeftSemi" not in opt else "FAIL")],
     ))
 
+    # 4e. checksum verify: no join anywhere — two partial aggregations
+    p = plan_of(dec.verify_roundtrip(
+        seq, dec.decode_tokens(spark.read.parquet("/tmp/plans_encoded")),
+        method="checksum"))
+    n_joins = len(re.findall(r"Join", p))
+    sections.append((
+        "Checksum verify: join-free (the 10^12-row verify)",
+        p,
+        ["no SortMergeJoin/ShuffledHashJoin of row data -> %s (the only "
+         "join-ish node allowed is the 1x1 result cross join)"
+         % ("PASS" if "SortMergeJoin" not in p
+            and "ShuffledHashJoin" not in p else "FAIL"),
+         "HashAggregate partial/final pairs present -> %s"
+         % ("PASS" if "HashAggregate" in p else "CHECK")],
+    ))
+
+    # 4f. bucket layout: partition pruning on the resume unit
+    from parquet_playground_rs_spark.plans import pipeline as pl
+    chunked = enc.split_skew(seq, enc.DEFAULT_CHUNK) \
+        .withColumn("bucket", pl.bucket_col(8))
+    enc.write_encoded(pl._encode_with_bucket(chunked), "/tmp/plans_buckets",
+                      partition_by="bucket")
+    p = plan_of(spark.read.parquet("/tmp/plans_buckets")
+                .filter(F.col("bucket") == 3))
+    sections.append((
+        "Bucketed layout: partition pruning on the resume unit",
+        p,
+        ["PartitionFilters prune to bucket=3 (scan reads ONE directory, "
+         "not the table) -> %s"
+         % ("PASS" if re.search(r"PartitionFilters: \[[^\]]*bucket", p)
+            else "FAIL")],
+    ))
+
     # 5. ANN: query side broadcast
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     p = plan_of(similarity.brute_force_topk(emb, emb.limit(5), k=3))
