@@ -50,11 +50,19 @@ def _manifest_dir(out: str) -> str:
     return os.path.join(out, "manifest")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for `path` — same code serves file://, hdfs://,
+    s3a:// (the manifest protocol must not assume a driver-local disk at
+    cluster scale)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
 def read_manifest(spark: SparkSession, out: str) -> DataFrame:
     mdir = _manifest_dir(out)
-    if not os.path.isdir(mdir) or not any(
-        f.endswith(".json") for f in os.listdir(mdir)
-    ):
+    fs, jpath, _ = _hadoop_fs(spark, mdir)
+    if not fs.exists(jpath):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     return (
         spark.read.schema(MANIFEST_SCHEMA)
@@ -68,15 +76,33 @@ def completed_buckets(spark: SparkSession, out: str) -> set[int]:
     return {r["bucket"] for r in m.filter(F.col("status") == "done").collect()}
 
 
-def _write_manifest_row(out: str, row: dict) -> None:
-    """Atomic single-file append: write tmp then rename."""
+def _write_manifest_row(spark: SparkSession, out: str, row: dict) -> None:
+    """Commit one bucket's manifest line: write tmp, then rename.
+
+    Goes through the Hadoop FileSystem API so the identical code runs on
+    file://, HDFS (atomic rename), and S3A (rename = copy+delete, but the
+    manifest file is tiny and the bucket data write already succeeded —
+    a crash between data and manifest just re-runs an idempotent bucket).
+    """
     mdir = _manifest_dir(out)
-    os.makedirs(mdir, exist_ok=True)
-    path = os.path.join(mdir, f"bucket-{row['bucket']:05d}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(json.dumps(row) + "\n")
-    os.replace(tmp, path)
+    fs, mpath, jvm = _hadoop_fs(spark, mdir)
+    try:
+        fs.setWriteChecksum(False)  # no .crc sidecars on local FS
+    except Exception:
+        pass
+    fs.mkdirs(mpath)
+    Path = jvm.org.apache.hadoop.fs.Path
+    final = Path(mdir, f"bucket-{row['bucket']:05d}.json")
+    tmp = Path(mdir, f"bucket-{row['bucket']:05d}.json.tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray((json.dumps(row) + "\n").encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest rename failed for bucket {row['bucket']}")
 
 
 def run_encode_job(
@@ -146,7 +172,7 @@ def run_encode_job(
                 "wall_sec": wall / len(batch_buckets),
                 "ts": time.time(),
             }
-            _write_manifest_row(out, row)
+            _write_manifest_row(spark, out, row)
             summary["processed_buckets"] += 1
             summary["n_rows"] += row["n_rows"]
             summary["input_bytes"] += row["input_bytes"]

@@ -51,7 +51,8 @@ def test_manifest_lineage_content(spark, seq, tmp_path):
     out = str(tmp_path / "run3")
     pl.run_encode_job(spark, seq, out, n_buckets=3, chunk_size=512)
     mrows = [json.loads(open(os.path.join(out, "manifest", f)).read())
-             for f in sorted(os.listdir(os.path.join(out, "manifest")))]
+             for f in sorted(os.listdir(os.path.join(out, "manifest")))
+             if f.endswith(".json")]
     assert [r["bucket"] for r in mrows] == [0, 1, 2]
     assert all(r["status"] == "done" for r in mrows)
     total_rows = sum(r["n_rows"] for r in mrows)
