@@ -196,13 +196,15 @@ ENCODED_WRITE_OPTIONS = {
 
 
 def write_encoded(df: DataFrame, path: str, mode: str = "overwrite",
-                  partition_by: str | None = None, **extra_options) -> None:
+                  partition_by: str | list[str] | None = None,
+                  **extra_options) -> None:
     """Parquet sink for the encoded table with reference-config fidelity."""
     w = df.write.mode(mode)
     for k, v in {**ENCODED_WRITE_OPTIONS, **extra_options}.items():
         w = w.option(k, v)
     if partition_by:
-        w = w.partitionBy(partition_by)
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*cols)
     w.parquet(path)
 
 

@@ -150,9 +150,13 @@ def run_encode_job(
             .groupBy("bucket")
             .agg(F.map_from_entries(F.collect_list(F.struct("codec", "count"))).alias("hist"))
         )
+        # Iceberg-style two-level layout source=<v>/bucket=<k> (SURVEY §7
+        # stage 4): source gives partition pruning for consumers, bucket
+        # stays the idempotent resume/commit unit
         enc.write_encoded(
             encoded, os.path.join(out, "data"),
-            partition_by="bucket", partitionOverwriteMode="dynamic",
+            partition_by=["source", "bucket"],
+            partitionOverwriteMode="dynamic",
         )
         wall = time.time() - t0
         stat_rows = {r["bucket"]: r for r in stats.collect()}
