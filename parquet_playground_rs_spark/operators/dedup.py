@@ -5,6 +5,13 @@ shuffle-minimal); no reference analog exists (the reference is an encode
 benchmark, SURVEY.md §2.3) — these are the new-engine training-pipeline
 operators the north star calls for.
 
+Algorithms are the published classics: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", SEQUENCES
+1997) with banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch.3), and SimHash (Charikar, "Similarity estimation techniques
+from rounding algorithms", STOC 2002; Manku et al., WWW 2007 for the
+hamming-block lookup).
+
 Scale notes:
 - exact dedup: one hash-groupBy, the minimum possible shuffle payload
   (hash + doc_id only).

@@ -5,9 +5,13 @@ Two paths, per the training-pipeline requirement:
   small by construction); the corpus is never shuffled — each partition
   scores its rows and a single top-k window reduces. The dot product is
   JVM-side (`zip_with` + `aggregate`), no Python in the loop.
-- `lsh_topk`: random-hyperplane (sign) LSH — deterministic seeded
-  projections, bucket join on band keys, exact re-scoring inside buckets
-  only. The scale path: shuffles only (bucket_key, id) pairs.
+- `lsh_topk`: random-hyperplane (sign) LSH (Charikar, STOC 2002) —
+  deterministic seeded projections, bucket join on band keys, exact
+  re-scoring inside buckets only. Shuffles only (bucket_key, id) pairs.
+- `ivf_topk`: IVF-Flat (the inverted-file coarse quantizer of
+  Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  Search", TPAMI 2011, without the PQ refinement) — nprobe trades recall
+  for scanned cells.
 
 Embedding-cosine near-dup (dedup flavor) = `lsh_topk(corpus, corpus)`
 filtered to similarity >= threshold.

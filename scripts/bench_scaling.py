@@ -132,6 +132,9 @@ Component scaling measured separately on this host (same input):
   a single-host sandbox; on a real multi-node cluster each executor owns
   its exchange lanes, so the measured efficiency here is a lower bound.
 
+Host-ceiling analysis and full run history: BENCH/CEILING.md (kept as a
+separate file so this generated report can't clobber it).
+
 Environmental caveats (measured):
 - 32 concurrent zstd-jni parquet *readers* show 5x run-to-run variance ->
   bench inputs are snappy; engine outputs stay zstd (write-once).
