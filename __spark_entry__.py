@@ -965,18 +965,27 @@ def _q_rowwise_columnar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-codec histogram of the auto-selector over two corpora: the
+    tokenized documents (uniform-ish -> bitpack-dominated) and the
+    synthetic generator (runs/ramps/low-card/wide shapes -> every codec
+    family). Rows-only: codec choice is the engine's own."""
     from parquet_playground_rs_spark.operators import encode as enc
+    from parquet_playground_rs_spark.sources.generator import sequences_df
 
-    seq = _sequences(spark, sf_dir)
-    encoded = enc.encode_tokens(seq, chunk_size=4096)
+    docs_enc = enc.encode_tokens(_sequences(spark, sf_dir), chunk_size=4096) \
+        .withColumn("corpus", F.lit("documents"))
+    syn_enc = enc.encode_tokens(
+        sequences_df(spark, 2000, seed=42, partitions=4), chunk_size=4096) \
+        .withColumn("corpus", F.lit("synthetic"))
     return (
-        encoded.groupBy("codec")
+        docs_enc.unionByName(syn_enc)
+        .groupBy("corpus", "codec")
         .agg(
             F.count("*").cast("long").alias("n_blocks"),
             F.sum("meta.input_bytes").cast("long").alias("input_bytes"),
             F.sum("meta.output_bytes").cast("long").alias("output_bytes"),
         )
-        .orderBy("codec")
+        .orderBy("corpus", "codec")
     )
 
 

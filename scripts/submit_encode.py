@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the resumable encode pipeline.
+
+The north rule's launch shape: package the engine and submit —
+
+    zip -r engine.zip parquet_playground_rs_spark
+    spark-submit --py-files engine.zip \\
+        --conf spark.sql.shuffle.partitions=<4 x total cores> \\
+        scripts/submit_encode.py \\
+        --input  s3a://bucket/sequences/ \\
+        --output s3a://bucket/encoded/ \\
+        --buckets 256 --chunk-size 16384 [--verify checksum] [--resume]
+
+Re-running the same command after a failure resumes past completed
+buckets (plans/pipeline.py manifests; --resume is implied, the flag just
+documents intent). Works identically on local paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="parquet dir of (doc_id, tokens, n_tok, source)")
+    ap.add_argument("--output", required=True, help="encoded table root")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--chunk-size", type=int, default=16384)
+    ap.add_argument("--buckets-per-commit", type=int, default=None)
+    ap.add_argument("--verify", choices=["none", "checksum", "hash", "exact"],
+                    default="checksum")
+    ap.add_argument("--resume", action="store_true",
+                    help="documentational; resume is always on")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.plans import pipeline as pl
+
+    # under spark-submit the session is configured by the submit command;
+    # getOrCreate attaches to it (local runs fall back to defaults)
+    spark = SparkSession.builder.appName("encode-job").getOrCreate()
+    src = spark.read.parquet(args.input)
+    summary = pl.run_encode_job(
+        spark, src, args.output, n_buckets=args.buckets,
+        chunk_size=args.chunk_size,
+        buckets_per_commit=args.buckets_per_commit)
+    if args.verify != "none":
+        decoded = dec.decode_tokens(pl.read_encoded(spark, args.output))
+        row = dec.verify_roundtrip(src, decoded, method=args.verify).first()
+        summary["verify"] = {k: int(row[k]) for k in
+                             ("n_source", "n_decoded", "n_joined", "n_mismatch")}
+        if row["n_mismatch"] != 0:
+            print(json.dumps(summary))
+            raise SystemExit("round-trip verification FAILED")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
