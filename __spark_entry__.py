@@ -386,6 +386,40 @@ FROM per GROUP BY source ORDER BY source
 """
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filtering by integer Gopher-style rules (functions.text
+    .gopher_keep); kept-set checksums are oracle-exact."""
+    from parquet_playground_rs_spark.functions import text as T
+
+    docs = _docs(spark, sf_dir)
+    kept = docs.filter(T.gopher_keep("text"))
+    return docs.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        kept.agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_id_checksum"),
+            F.sum(F.length("text")).cast("long").alias("kept_chars_checksum"),
+        )
+    )
+
+
+_Q_QUALITY_FILTER_SQL = f"""
+WITH per AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS sw,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS pc
+  FROM documents
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars_checksum
+FROM per
+WHERE nw BETWEEN 10 AND 10000 AND sw * 10 >= nw AND pc * 4 <= n_chars
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic histogram: predicted lang x count."""
     from parquet_playground_rs_spark.functions import text as T
@@ -1018,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_tail": _q_length_tail,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
+        "quality_filter": _q_quality_filter,
         "fingerprint": _q_fingerprint,
         "text_features": _q_text_features,
         "lang_id": _q_lang_id,
@@ -1052,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "length_tail": _Q_LENGTH_TAIL_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "text_quality": _Q_TEXT_QUALITY_SQL,
+        "quality_filter": _Q_QUALITY_FILTER_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "text_features": _Q_TEXT_FEATURES_SQL,
         "lang_id": _build_lang_id_sql(),

@@ -69,6 +69,23 @@ def quality_score(text: Column | str) -> Column:
     return (len_ok + sw_ok + F.lit(0.2) - punct_pen).cast("double")
 
 
+def gopher_keep(text: Column | str) -> Column:
+    """Boolean corpus-filter rule in the Gopher-rules style, built from
+    INTEGER comparisons only (word-count band, stopword floor, punctuation
+    ceiling) — exactly reproducible in any SQL engine, so the filter's
+    row selection is oracle-checkable without float-threshold edge risk:
+
+        10 <= n_words <= 10000
+        stopword_count * 10 >= n_words       (>= 10% stopwords)
+        punct_count * 4 <= length(text)      (<= 25% punctuation chars)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    nw = n_words(c)
+    return ((nw >= 10) & (nw <= 10000)
+            & (stopword_count(c) * 10 >= nw)
+            & (punct_count(c) * 4 <= F.length(c)))
+
+
 def lang_scores(text: Column | str) -> Column:
     """map<string,bigint> of marker-word hits per language."""
     w = words(text)

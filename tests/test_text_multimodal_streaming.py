@@ -31,6 +31,18 @@ def test_text_counters_consistent(spark, docs):
         assert 0.0 <= r["q"] <= 1.0
 
 
+def test_gopher_keep_rules(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was a very good day for all"),
+        (2, "short text"),                        # < 10 words
+        (3, " ".join(["zz"] * 50)),               # no stopwords
+        (4, "the " * 10 + "!!!" * 200),           # punctuation flood
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in df.filter(T.gopher_keep("text")).collect()}
+    assert kept == {1}
+
+
 def test_lang_id_returns_known_code(spark, docs):
     out = docs.select(T.lang_id("text").alias("lang")).distinct().collect()
     allowed = set(T.LANG_MARKERS) | {"und"}
