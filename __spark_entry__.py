@@ -853,6 +853,39 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every non-reference event picks up
+    the most recent reference-stream value at-or-before its timestamp per
+    user. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from parquet_playground_rs_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = (
+        ev.filter(F.pmod("event_id", F.lit(5)) == 0)
+        .groupBy("user_id", "ts").agg(F.max("value").alias("rv"))
+    )
+    left = ev.filter(F.pmod("event_id", F.lit(5)) != 0)
+    joined = asof_join(left, right, on="ts", by="user_id",
+                       value_cols=["rv"])
+    return joined.agg(
+        F.count("*").cast("long").alias("n_left"),
+        F.count("rv_asof").cast("long").alias("n_matched"),
+        F.sum(F.round(F.col("rv_asof") * 100).cast("long")).cast("long")
+        .alias("rv_checksum"),
+    )
+
+
+_Q_EVENTS_ASOF_SQL = """
+WITH r AS (SELECT user_id, ts, max(value) AS rv
+           FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts),
+l AS (SELECT * FROM events WHERE event_id % 5 <> 0)
+SELECT CAST(count(*) AS BIGINT) AS n_left,
+       CAST(count(rv) AS BIGINT) AS n_matched,
+       CAST(sum(CAST(round(rv * 100) AS BIGINT)) AS BIGINT) AS rv_checksum
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (S3 analog at column level)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1067,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
         "json_props": _q_json_props,
         "histogram_touch_sum": _q_histogram_touch_sum,
         "histogram_pivot": _q_histogram_pivot,
@@ -1095,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _Q_DEDUP_APPLY_SQL,
         "embedding_norms": _Q_EMBEDDING_NORMS_SQL,
         "events_sessions": _Q_EVENTS_SESSIONS_SQL,
+        "events_asof": _Q_EVENTS_ASOF_SQL,
         "json_props": _Q_JSON_PROPS_SQL,
         "minhash_near_dups": _Q_MINHASH_SQL,
         "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,

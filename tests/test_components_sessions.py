@@ -37,6 +37,31 @@ def test_dedup_by_components(spark):
     assert kept == {1, 10, 99}
 
 
+def test_asof_join_semantics(spark):
+    from parquet_playground_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 100), (3, 7)],
+        "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 100, 9.0), (2, 50, 8.0)],
+        "user_id long, ts long, rv double")
+    got = {(r["user_id"], r["ts"]): r["rv_asof"]
+           for r in asof_join(left, right, on="ts", by="user_id",
+                              value_cols=["rv"]).collect()}
+    assert got == {
+        (1, 10): 1.0,   # tie: right.ts == left.ts matches
+        (1, 20): 2.0,   # latest at-or-before
+        (1, 5): None,   # nothing before
+        (2, 100): 9.0,  # tie beats the earlier 8.0
+        (3, 7): None,   # key with no right rows
+    }
+    # plan shape: one shuffle by key, no join node (union trick)
+    plan = asof_join(left, right, value_cols=["rv"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan.replace("union", "")
+
+
 def _expected_sessions(events, gap):
     """Reference batch sessionization: list of (user, start, end, n, sum)
     including the open tail."""
@@ -87,7 +112,11 @@ def test_streaming_sessionize(spark, tmp_path):
             .select("event_id", "user_id", "event_type", "ts", "value",
                     "props")
         )
-        df.write.mode("append").parquet(in_dir)
+        # one file per wave: a wave split across micro-batches could let
+        # an event-time timeout fire on a partial tail between the files
+        # (legal streaming behavior, but it would make the expected-set
+        # assertion racy)
+        df.coalesce(1).write.mode("append").parquet(in_dir)
 
     write_wave(wave1)
     q = sessionize_stream(spark, in_dir, out_dir, gap_sec=300.0,
