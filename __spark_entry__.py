@@ -886,6 +886,47 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval range join (operators/asof.py:
+    range_join_buckets): reference events open a 600 s window; count the
+    other events landing inside any window of the same user. Oracle:
+    plain BETWEEN join in DuckDB."""
+    from parquet_playground_rs_spark.operators.asof import range_join_buckets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    left = ev.filter(F.pmod("event_id", F.lit(5)) != 0) \
+        .select("event_id", "user_id", sec.alias("sec"))
+    right = ev.filter(F.pmod("event_id", F.lit(5)) == 0).select(
+        "user_id", sec.alias("start"), (sec + 600).alias("end"), "value")
+    joined = range_join_buckets(left, right, point="sec", start="start",
+                                end="end", by="user_id", bucket_width=600)
+    return joined.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("event_id").cast("long").alias("event_id_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+        .alias("value_checksum"),
+    )
+
+
+_Q_EVENTS_RANGE_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec
+  FROM events WHERE event_id % 5 <> 0
+),
+r AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + 600 AS e, value
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(l.event_id) AS BIGINT) AS event_id_sum,
+       CAST(sum(CAST(round(r.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_checksum
+FROM l JOIN r ON l.user_id = r.user_id AND l.sec BETWEEN r.s AND r.e
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (S3 analog at column level)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1101,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "json_props": _q_json_props,
         "histogram_touch_sum": _q_histogram_touch_sum,
         "histogram_pivot": _q_histogram_pivot,
@@ -1130,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _Q_EMBEDDING_NORMS_SQL,
         "events_sessions": _Q_EVENTS_SESSIONS_SQL,
         "events_asof": _Q_EVENTS_ASOF_SQL,
+        "events_range_join": _Q_EVENTS_RANGE_SQL,
         "json_props": _Q_JSON_PROPS_SQL,
         "minhash_near_dups": _Q_MINHASH_SQL,
         "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,

@@ -62,6 +62,40 @@ def test_asof_join_semantics(spark):
     assert "Join" not in plan.replace("union", "")
 
 
+def test_range_join_buckets_semantics(spark):
+    from parquet_playground_rs_spark.operators.asof import range_join_buckets
+
+    left = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 100), (3, 1, 150), (4, 1, 249),
+         (5, 1, 250), (6, 2, 100)],
+        "event_id long, user_id long, sec long")
+    right = spark.createDataFrame(
+        # interval spanning multiple narrow buckets + boundary-inclusive
+        [(1, 100, 249, 7.0), (2, 100, 100, 9.0)],
+        "user_id long, start long, end long, value double")
+    out = range_join_buckets(left, right, point="sec", start="start",
+                             end="end", by="user_id", bucket_width=16)
+    got = {(r["event_id"], r["value"]) for r in out.collect()}
+    # user 1: events 100/150/249 fall in the wide [100,249] interval
+    # (boundaries inclusive), 50 and 250 do not; user 2: event 100 hits
+    # the degenerate [100,100] interval
+    assert got == {(2, 7.0), (3, 7.0), (4, 7.0), (6, 9.0)}
+    # brute-force parity on random data
+    import random
+    random.seed(5)
+    L = [(i, random.randint(1, 3), random.randint(0, 500)) for i in range(120)]
+    R = [(random.randint(1, 3), s, s + random.randint(0, 80), float(i))
+         for i, s in enumerate(random.sample(range(0, 500), 25))]
+    ldf = spark.createDataFrame(L, "event_id long, user_id long, sec long")
+    rdf = spark.createDataFrame(R, "user_id long, start long, end long, value double")
+    fast = {(r["event_id"], r["value"])
+            for r in range_join_buckets(ldf, rdf, point="sec", by="user_id",
+                                        bucket_width=37).collect()}
+    slow = {(e, v) for (e, u, s) in L for (ru, lo, hi, v) in R
+            if u == ru and lo <= s <= hi}
+    assert fast == slow
+
+
 def _expected_sessions(events, gap):
     """Reference batch sessionization: list of (user, start, end, n, sum)
     including the open tail."""
