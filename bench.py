@@ -107,21 +107,29 @@ def main() -> None:
     extra["encode_tokens_per_sec"] = round(total_tokens / timings["q_encode"], 1)
     extra["total_tokens"] = int(total_tokens)
 
-    # ---- q_decode_verify: read back, decode, exact equality
-    t0 = time.time()
-    decoded = dec.decode_tokens(spark.read.parquet(out_dir))
-    verdict = dec.verify_roundtrip(seq, decoded, method="hash").first()
-    timings["q_decode_verify"] = time.time() - t0
+    # ---- q_decode_verify: read back, decode, hash verify (median of 3:
+    # single-shot numbers swing 2x+ with host noise)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        decoded = dec.decode_tokens(spark.read.parquet(out_dir))
+        verdict = dec.verify_roundtrip(seq, decoded, method="hash").first()
+        reps.append(time.time() - t0)
+    timings["q_decode_verify"] = statistics.median(reps)
+    extra["decode_verify_reps_sec"] = [round(r, 3) for r in reps]
     extra["n_mismatch"] = int(verdict["n_mismatch"])
     extra["decode_verify_tokens_per_sec"] = round(
         total_tokens / timings["q_decode_verify"], 1)
 
     # ---- join-free checksum verify (the 10^12-row verify path)
-    t0 = time.time()
-    v2 = dec.verify_roundtrip(
-        seq, dec.decode_tokens(spark.read.parquet(out_dir)),
-        method="checksum").first()
-    extra["q_verify_checksum_sec"] = round(time.time() - t0, 3)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        v2 = dec.verify_roundtrip(
+            seq, dec.decode_tokens(spark.read.parquet(out_dir)),
+            method="checksum").first()
+        reps.append(time.time() - t0)
+    extra["q_verify_checksum_sec"] = round(statistics.median(reps), 3)
     extra["checksum_mismatch"] = int(v2["n_mismatch"])
 
     # ---- rowwise-vs-columnar decode contrast (the reference's parqbench
@@ -146,13 +154,15 @@ def main() -> None:
     f0 = sorted(str(p) for p in Path(out_dir).glob("*.parquet"))[0]
     blocks = pq.read_table(f0, columns=["block"]).column("block") \
         .combine_chunks()
-    t0 = time.time()
-    batch_decode.decode_binary_array(blocks)
-    t_kc = time.time() - t0
-    t0 = time.time()
-    for i in range(len(blocks)):
-        kernels.decode(blocks[i].as_py())
-    t_kr = time.time() - t0
+    t_kc = t_kr = 1e18  # interleaved best-of-3: host noise resistance
+    for _ in range(3):
+        t0 = time.time()
+        batch_decode.decode_binary_array(blocks)
+        t_kc = min(t_kc, time.time() - t0)
+        t0 = time.time()
+        for i in range(len(blocks)):
+            kernels.decode(blocks[i].as_py())
+        t_kr = min(t_kr, time.time() - t0)
     extra["kernel_rowwise_over_columnar"] = round(t_kr / max(t_kc, 1e-9), 1)
     extra["kernel_contrast_blocks"] = len(blocks)
 
