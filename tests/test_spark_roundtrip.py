@@ -53,6 +53,20 @@ def test_roundtrip_exact(spark, seq):
     assert res["n_source"] == res["n_decoded"] == res["n_joined"] == N_ROWS
 
 
+def test_roundtrip_with_small_byte_bounded_batches(spark, seq):
+    """The mapper-split path under a tiny arrow byte cap: long documents
+    arrive in byte-bounded batches and must still chunk+round-trip."""
+    key = "spark.sql.execution.arrow.maxBytesPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "65536")
+    try:
+        encoded = enc.encode_tokens(seq, chunk_size=256)
+        res = dec.verify_roundtrip(seq, dec.decode_tokens(encoded)).first()
+        assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+    finally:
+        spark.conf.set(key, old)
+
+
 @pytest.mark.parametrize("batch_size", [1, 7, 100, 10000])
 def test_roundtrip_across_arrow_batch_sizes(spark, seq, batch_size):
     old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
