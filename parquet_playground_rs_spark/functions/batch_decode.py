@@ -60,10 +60,12 @@ def _unpack_group(payload_bytes: np.ndarray, counts: np.ndarray,
     real_bytes = (counts * width + 7) // 8
     total_pad = int(pad_bytes.sum())
     arena = np.zeros(total_pad, dtype=np.uint8)
-    # gather real payload bytes into the padded arena (int32 index math:
-    # Arrow-bounded batches keep everything < 2^31)
+    # gather real payload bytes into the padded arena; the indices address
+    # BOTH the payload (< payload_bytes.size) and the padded arena
+    # (< total_pad, up to ~8x larger for many short rows at wide widths),
+    # so the dtype must cover the max of the two (mirrors _group_pack)
     total_real = int(real_bytes.sum())
-    it = np.int32 if payload_bytes.size < 2**31 else np.int64
+    it = np.int32 if max(payload_bytes.size, total_pad) < 2**31 else np.int64
     real_starts = np.concatenate(([0], np.cumsum(real_bytes)))[:-1]
     rel_pos = np.arange(total_real, dtype=it)
     byte_gaps = np.concatenate(([0], np.cumsum(pad_bytes - real_bytes)))[:-1]

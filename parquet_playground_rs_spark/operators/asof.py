@@ -72,14 +72,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
+    # Carry ALL value columns in ONE struct: a NULL payload column on the
+    # matched (latest) right row stays NULL instead of falling back to an
+    # older row (ASOF semantics — DuckDB returns the latest row's NULL),
+    # every output column provably comes from the SAME right row, and the
+    # window evaluates one `last` instead of len(value_cols).
     tagged_r = right.select(
         F.col(by), F.col(on), F.lit(1).alias("_is_r"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rvals"),
     )
-    tagged_l = left.withColumn("_is_r", F.lit(0))
-    for c in value_cols:
-        tagged_l = tagged_l.withColumn(f"{c}{suffix}",
-                                       F.lit(None).cast(dict(tagged_r.dtypes)[f"{c}{suffix}"]))
+    rtype = dict(tagged_r.dtypes)["_rvals"]
+    tagged_l = (left.withColumn("_is_r", F.lit(0))
+                .withColumn("_rvals", F.lit(None).cast(rtype)))
     combined = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
     # right rows sort BEFORE left rows at equal ts so ties match (>=)
     w = (
@@ -87,11 +91,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         .orderBy(F.col(on).asc(), F.col("_is_r").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = combined
+    carried = combined.withColumn(
+        "_rv",
+        F.last(F.when(F.col("_is_r") == 1, F.col("_rvals")),
+               ignorenulls=True).over(w),
+    ).filter(F.col("_is_r") == 0)
     for c in value_cols:
-        carried = carried.withColumn(
-            f"{c}{suffix}",
-            F.last(F.when(F.col("_is_r") == 1, F.col(f"{c}{suffix}")),
-                   ignorenulls=True).over(w),
-        )
-    return carried.filter(F.col("_is_r") == 0).drop("_is_r")
+        carried = carried.withColumn(f"{c}{suffix}", F.col("_rv").getField(c))
+    return carried.drop("_is_r", "_rvals", "_rv")

@@ -202,7 +202,10 @@ def verify_roundtrip(source_df: DataFrame, decoded_df: DataFrame,
         return s.crossJoin(d).select(
             "n_source", "n_decoded",
             F.least("n_source", "n_decoded").alias("n_joined"),
-            F.when((F.col("_cs") == F.col("_cd"))
+            # null-safe equality: bit_xor over ZERO rows aggregates to NULL
+            # on both sides; a vacuously-correct empty round-trip must
+            # report 0, not fall through to -1
+            F.when(F.col("_cs").eqNullSafe(F.col("_cd"))
                    & (F.col("n_source") == F.col("n_decoded")), 0)
             .otherwise(-1).cast("long").alias("n_mismatch"),
         )

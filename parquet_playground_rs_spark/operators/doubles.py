@@ -39,6 +39,13 @@ def _list_f64_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         arr = arr.cast(pa.list_(pa.float64()))
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     child = arr.values
+    # Normalize a sliced ListArray (offsets[0] != 0) to a 0-based frame:
+    # every downstream consumer (plane gather via absolute starts, bitmap
+    # pack and n_valid cumsum via cumsum(lens)) must share ONE addressing
+    # convention over vals/valid.
+    if offsets[0] != 0:
+        child = child.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
     valid = np.ones(len(child), dtype=bool)
     vals = np.asarray(child.to_numpy(zero_copy_only=False), dtype="<f8")
     if child.null_count:

@@ -52,8 +52,18 @@ def _sessionize_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     ts = ts[order]
     vals = pdf["value"].to_numpy()[order]
 
+    closed = []
     if state.exists:
         start0, last0, n0, sum0 = state.get
+        if (ts[0] - last0) > gap_sec:
+            # The stored tail's session ended before this batch arrived
+            # (the timeout just hasn't fired yet — watermark may lag the
+            # gap). Close it at ITS OWN last event, never at a batch
+            # timestamp, and start this batch fresh.
+            closed.append([user_id, start0, float(last0), int(n0),
+                           float(sum0)])
+            state.remove()
+            start0, last0, n0, sum0 = ts[0], None, 0, 0.0
     else:
         start0, last0, n0, sum0 = ts[0], None, 0, 0.0
 
@@ -64,10 +74,11 @@ def _sessionize_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     prev = np.concatenate(([last0 if last0 is not None else ts[0]], ts[:-1]))
     new_sess = (ts - prev) > gap_sec
     sess_id = np.cumsum(new_sess)  # 0 = continues the open tail
-    closed = []
     for sid in range(int(sess_id.max()) + 1):
         m = sess_id == sid
         seg_ts = ts[m]
+        if seg_ts.size == 0:
+            continue  # defensive: can only be sid 0, already closed above
         seg_sum = float(vals[m].sum())
         seg_n = int(m.sum())
         if sid == 0:

@@ -132,3 +132,26 @@ def test_bss_wins_on_smooth_series(spark):
     row = D.bss_size_probe(df, "vals").first()
     assert row["bss_deflate"] < row["raw_deflate"] * 0.9, \
         (row["bss_deflate"], row["raw_deflate"])
+
+
+def test_encode_bss_batch_sliced_list_array():
+    """ADVICE r2: a sliced ListArray (offsets[0] != 0) must be normalized
+    to a 0-based frame so the validity bitmap / n_valid cumsum and the
+    plane gather address the same rows. Blobs must stay byte-identical to
+    the per-row kernel."""
+    import pyarrow as pa
+
+    from parquet_playground_rs_spark.operators.doubles import (
+        _encode_bss_batch, _list_f64_parts)
+
+    rows = [[1.5, None, 3.25], [], [2.0], [None, None], [7.0, 8.0, None]]
+    arr = pa.array(rows, type=pa.list_(pa.float64()))
+    sl = arr.slice(2, 3)
+    vals, valid, offsets = _list_f64_parts(sl)
+    assert offsets[0] == 0 and int(offsets[-1]) == 6 == vals.size == valid.size
+    data, boff = _encode_bss_batch(vals, valid, offsets)
+    for i, row in enumerate(rows[2:5]):
+        v = np.array([0.0 if x is None else x for x in row], dtype="<f8")
+        m = np.array([x is not None for x in row], dtype=bool)
+        expect = kernels.encode_bss(v, m)
+        assert data[boff[i]:boff[i + 1]].tobytes() == expect, f"row {i}"

@@ -179,3 +179,123 @@ def test_streaming_sessionize(spark, tmp_path):
     expected_any = {(s[0], float(s[1]), float(s[2]), s[3], float(s[4]))
                     for s in expected_all}
     assert got <= expected_any
+
+
+def test_asof_join_null_payload_from_latest_row(spark):
+    """ADVICE r2: a NULL value column on the MATCHED (latest) right row must
+    stay NULL — not fall back to an older right row — and with multiple
+    value_cols every output column must come from the SAME right row."""
+    from parquet_playground_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20), (1, 12)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "a"), (1, 15, None, "b")],
+        "user_id long, ts long, rv double, tag string")
+    got = {(r["user_id"], r["ts"]): (r["rv_asof"], r["tag_asof"])
+           for r in asof_join(left, right, on="ts", by="user_id",
+                              value_cols=["rv", "tag"]).collect()}
+    assert got == {
+        (1, 20): (None, "b"),  # latest row's NULL preserved; cols same row
+        (1, 12): (1.0, "a"),
+    }
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState (unit-testing the pandas fn)."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def test_sessionize_group_stale_tail_closes_at_own_end():
+    """ADVICE r2 high: stored open tail + first batch event beyond gap_sec
+    used to IndexError on the empty sid-0 segment. The stale tail must
+    close at ITS OWN last event (not a batch timestamp) and the batch must
+    start a fresh session."""
+    import pandas as pd
+
+    from parquet_playground_rs_spark.streaming.sessions import _sessionize_group
+
+    state = _FakeGroupState((100.0, 200.0, 2, 3.0))  # start, last, n, sum
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([1000.0, 1050.0], unit="s"),
+        "value": [1.0, 2.0],
+    })
+    out = list(_sessionize_group((7,), iter([pdf]), state, 300.0))
+    closed = [tuple(r) for df in out for r in df.itertuples(index=False)]
+    assert closed == [(7, 100.0, 200.0, 2, 3.0)]
+    assert state.get == (1000.0, 1050.0, 2, 3.0)
+
+
+def test_sessionize_group_alive_tail_continues():
+    """Complement: a tail within gap_sec of the batch extends, not closes."""
+    import pandas as pd
+
+    from parquet_playground_rs_spark.streaming.sessions import _sessionize_group
+
+    state = _FakeGroupState((100.0, 900.0, 2, 3.0))
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([1000.0, 1050.0], unit="s"),
+        "value": [1.0, 2.0],
+    })
+    out = list(_sessionize_group((7,), iter([pdf]), state, 300.0))
+    assert out == []  # nothing closes; tail extends
+    assert state.get == (100.0, 1050.0, 4, 6.0)
+
+
+def test_streaming_sessionize_watermark_outlives_gap(spark, tmp_path):
+    """End-to-end repro of the ADVICE r2 high: watermark (10 min) > gap
+    (300 s), so state routinely outlives the session boundary; a mid-size
+    gap used to kill the streaming query with IndexError."""
+    from parquet_playground_rs_spark.streaming.sessions import sessionize_stream
+
+    in_dir = str(tmp_path / "events_in")
+    out_dir = str(tmp_path / "sessions_out")
+    base = 1_600_000_000
+
+    def write_wave(events):
+        df = (
+            spark.createDataFrame(
+                list(events),
+                "event_id long, user_id long, event_type string, "
+                "ts_sec long, value double, props string")
+            .withColumn("ts", F.col("ts_sec").cast("timestamp"))
+            .select("event_id", "user_id", "event_type", "ts", "value",
+                    "props"))
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    write_wave([(1, 1, "click", base + 0, 1.0, "{}"),
+                (2, 1, "click", base + 100, 2.0, "{}")])
+    q = sessionize_stream(spark, in_dir, out_dir, gap_sec=300.0,
+                          watermark="10 minutes")
+    try:
+        q.processAllAvailable()
+        # gap 900 > 300 but watermark hasn't fired the timeout: the batch
+        # path itself must close the stale tail at base+100
+        write_wave([(3, 1, "click", base + 1000, 4.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["value_sum"])
+           for r in spark.read.parquet(f"{out_dir}/data").collect()}
+    assert (1, float(base), float(base + 100), 2, 3.0) in got

@@ -262,3 +262,18 @@ def test_verify_catches_corruption(spark, seq):
     )
     res = dec.verify_roundtrip(seq, decoded).first()
     assert res["n_mismatch"] >= 1
+
+
+def test_checksum_verify_empty_inputs(spark):
+    """ADVICE r2: bit_xor over zero rows is NULL on both sides; a
+    vacuously-correct empty round-trip must report n_mismatch=0, not -1."""
+    empty_s = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    empty_d = spark.createDataFrame([], "doc_id string, tokens array<int>")
+    r = dec.verify_roundtrip(empty_s, empty_d, method="checksum").first()
+    assert r["n_mismatch"] == 0
+    assert r["n_source"] == 0 and r["n_decoded"] == 0
+    # empty-vs-nonempty still fails loudly
+    one = spark.createDataFrame([("a", [1, 2])],
+                                "doc_id string, tokens array<int>")
+    assert dec.verify_roundtrip(empty_s, one, method="checksum") \
+        .first()["n_mismatch"] == -1
