@@ -142,10 +142,11 @@ def decode_tokens(encoded: DataFrame, materialize: bool | None = None) -> DataFr
     """
     if materialize is None:
         materialize = not (encoded.is_cached or _is_cheap_rescan(encoded))
+    persisted = None
     if materialize and not encoded.is_cached:
         from pyspark import StorageLevel
 
-        encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+        encoded = persisted = encoded.persist(StorageLevel.MEMORY_AND_DISK)
     # filter on n_chunks BEFORE the Python mapper: filtering the decoded
     # frame would re-run the decode UDF once per branch (each branch
     # re-executes the plan); pre-filtering keeps decode single-pass and
@@ -165,8 +166,27 @@ def decode_tokens(encoded: DataFrame, materialize: bool | None = None) -> DataFr
             ).alias("tokens")
         )
     )
-    out = single.unionByName(multi)
-    return out.withColumn("n_tok", F.size("tokens").cast("int"))
+    out = single.unionByName(multi).withColumn(
+        "n_tok", F.size("tokens").cast("int"))
+    # persist lifecycle: the cache this call created is released via
+    # release_decode_cache(out) once the consuming actions complete —
+    # one-shot jobs can ignore it, long-lived sessions must not accrete
+    # cached blocks until eviction pressure
+    out._persisted_input = persisted
+    return out
+
+
+def release_decode_cache(decoded: DataFrame) -> bool:
+    """Unpersist the input that decode_tokens materialized for `decoded`
+    (autodetect/materialize=True path). Returns True if a cache was
+    released, False if there was nothing to release. Safe to call more
+    than once."""
+    handle = getattr(decoded, "_persisted_input", None)
+    if handle is None:
+        return False
+    handle.unpersist()
+    decoded._persisted_input = None
+    return True
 
 
 def verify_roundtrip(source_df: DataFrame, decoded_df: DataFrame,

@@ -47,12 +47,30 @@ def _affine_params(k: int, seed: int) -> list[tuple[int, int]]:
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per identical text. Returns the
-    deduplicated rows of `docs`."""
-    from pyspark.sql import Window
+    deduplicated rows of `docs`.
 
-    h = F.md5(F.col(text_col))
-    keep = F.col(id_col) == F.min(F.col(id_col)).over(Window.partitionBy(h))
-    return docs.withColumn("_keep", keep).filter("_keep").drop("_keep")
+    Shuffle discipline (the 100 TB shape): only (md5, id) metadata moves
+    through the exchanges — a Window.partitionBy(md5(text)) would shuffle
+    every column including `text` itself just to compute a keep flag.
+    Duplicate groups aggregate map-side, the loser-id set (typically ~1%
+    of the corpus) is derived with one metadata join, and the full rows
+    are filtered by an anti-join on `id_col` that AQE converts to a
+    broadcast when the loser set is small — the document table itself
+    never shuffles.
+    """
+    ids = docs.select(F.md5(F.col(text_col)).alias("_h"),
+                      F.col(id_col).alias("_id"))
+    dup_groups = (
+        ids.groupBy("_h")
+        .agg(F.min("_id").alias("_winner"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    losers = (
+        ids.join(dup_groups, "_h")
+        .filter(F.col("_id") != F.col("_winner"))
+        .select(F.col("_id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
@@ -106,17 +124,27 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     across sub-buckets of one bucket are lost, but members of a degenerate
     bucket still pair up transitively within each sub-bucket, which is what
     dedup-by-connected-representatives needs.
+
+    Bucket sizes come from a partial-aggregated groupBy (only distinct
+    (band, key) counts shuffle), filtered to the oversized keys — a set
+    that is small BY CONSTRUCTION (<= n_rows / max_bucket) — and
+    broadcast-joined back. The previous window formulation shuffled and
+    sorted the whole banded table once more just to learn the sizes.
     """
     if not max_bucket:
         return banded, keys
-    from pyspark.sql import Window
 
-    bsz = F.count("*").over(Window.partitionBy(*keys))
-    nsub = F.ceil(bsz / F.lit(max_bucket))
-    sub = F.when(nsub <= 1, F.lit(0).cast("long")).otherwise(
-        F.pmod(F.xxhash64(id_col, F.lit(1013)), nsub)
+    oversized = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
     )
-    return banded.withColumn("sub", sub), keys + ["sub"]
+    salted = banded.join(F.broadcast(oversized), keys, "left")
+    sub = F.when(F.col("_bsz").isNull(), F.lit(0).cast("long")).otherwise(
+        F.pmod(F.xxhash64(id_col, F.lit(1013)),
+               F.ceil(F.col("_bsz") / F.lit(max_bucket)))
+    )
+    return salted.withColumn("sub", sub).drop("_bsz"), keys + ["sub"]
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16,

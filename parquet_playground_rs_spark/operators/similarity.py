@@ -128,11 +128,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     cb = signbit_buckets(corpus, dim, n_planes, bands, seed, id_col, vec_col) \
         .withColumnRenamed("id", "neighbor_id")
     if max_bucket:
-        bsz = F.count("*").over(Window.partitionBy("band", "key"))
+        # sizes via partial-aggregated groupBy filtered to oversized keys
+        # (small by construction), broadcast back — not a window over the
+        # whole banded table (which would shuffle+sort it once more)
+        oversized = (
+            cb.groupBy("band", "key")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+        )
         cb = (
-            cb.withColumn("_bsz", bsz)
+            cb.join(F.broadcast(oversized), ["band", "key"], "left")
             .filter(
-                (F.col("_bsz") <= max_bucket)
+                F.col("_bsz").isNull()
                 | (F.pmod(F.xxhash64("neighbor_id", F.lit(1013)),
                           F.ceil(F.col("_bsz") / F.lit(max_bucket))) == 0)
             )

@@ -175,6 +175,38 @@ def main() -> None:
             else "FAIL")],
     ))
 
+    # 4g. exact dedup: exchanges carry (md5, id) metadata only; the
+    # documents themselves are filtered by an anti-join AQE broadcasts
+    d_out = dedup.exact_dedup(docs)
+    d_out.collect()  # finalize the adaptive plan
+    p = plan_of(d_out)
+    exch_inputs = re.findall(
+        r"\(\d+\) Exchange[\s\S]*?Input \[\d+\]: \[([^\]]*)\]", p)
+    sections.append((
+        "Exact dedup: metadata-only shuffles, anti-join keep filter",
+        p,
+        ["no Window over full document rows -> %s"
+         % ("PASS" if "Window" not in p else "FAIL"),
+         "LeftAnti join present (loser-id set, AQE-broadcastable) -> %s"
+         % ("PASS" if "LeftAnti" in p else "FAIL"),
+         "no Exchange input carries `text` (payload is (md5, id)) -> %s"
+         % ("PASS" if exch_inputs
+            and not any("text" in x for x in exch_inputs) else "FAIL")],
+    ))
+
+    # 4h. LSH bucket capping: sizes via aggregate + broadcast join, not a
+    # window re-shuffle of the whole banded table
+    cand = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4,
+                                     max_bucket=64)
+    p = cand._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "LSH bucket cap: aggregate + broadcast, no window",
+        p[:4000],
+        ["no Window node -> %s" % ("PASS" if "Window" not in p else "FAIL"),
+         "BroadcastExchange of the oversized-key set -> %s"
+         % ("PASS" if "BroadcastExchange" in p else "FAIL")],
+    ))
+
     # 5. ANN: query side broadcast
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     p = plan_of(similarity.brute_force_topk(emb, emb.limit(5), k=3))

@@ -186,3 +186,56 @@ def test_embedding_near_dups_finds_duplicated_vectors(spark, emb):
     found = {(r["id_a"], r["id_b"]) for r in dups.collect()}
     expected = {(r["vec_id"], r["vec_id"] + 10_000_000) for r in emb.limit(4).collect()}
     assert expected <= found
+
+
+def test_exact_dedup_plan_metadata_only(spark, docs):
+    """r3 scale refinement: exact_dedup must not move `text` through any
+    exchange — keep decision via metadata aggregation + anti-join (AQE
+    broadcasts the small loser set at runtime)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    out = dedup.exact_dedup(docs)
+    out.collect()  # finalize the adaptive plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p
+    assert "LeftAnti" in p
+    exch_inputs = re.findall(
+        r"\(\d+\) Exchange[\s\S]*?Input \[\d+\]: \[([^\]]*)\]", p)
+    assert exch_inputs, p
+    assert not any("text" in x for x in exch_inputs), exch_inputs
+
+
+def test_bucket_cap_plan_broadcast_not_window(spark):
+    """r3: _cap_buckets learns bucket sizes via aggregate + broadcast join,
+    not a window over the whole banded table."""
+    import re
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(500)]
+    docs500 = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(dedup.word_shingles(docs500, n=3), k=16)
+    cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
+                                     max_bucket=100)
+    p = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_lsh_topk_cap_plan_single_window(spark, emb):
+    """r3: lsh_topk's only window is the final top-k rank; bucket capping
+    is aggregate + broadcast."""
+    import re
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    out = similarity.lsh_topk(emb, emb.orderBy("vec_id").limit(3),
+                              dim=dim, k=3, max_bucket=10)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bWindow\b", p)) == 1, p
+    assert "BroadcastExchange" in p
+    # capping still bounds and preserves function: results exist
+    assert out.count() > 0

@@ -277,3 +277,25 @@ def test_checksum_verify_empty_inputs(spark):
                                 "doc_id string, tokens array<int>")
     assert dec.verify_roundtrip(empty_s, one, method="checksum") \
         .first()["n_mismatch"] == -1
+
+
+def test_decode_tokens_release_cache(spark):
+    """r3: the cache decode_tokens auto-creates for a composed pipeline is
+    releasable; no cached blocks leak once the caller is done."""
+    from parquet_playground_rs_spark.sources.generator import sequences_df
+
+    seq2 = sequences_df(spark, 50, seed=7, partitions=2)
+    decoded = dec.decode_tokens(enc.encode_tokens(seq2, chunk_size=64))
+    assert decoded.count() == 50
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    assert dec.release_decode_cache(decoded) is True
+    assert jsc.getPersistentRDDs().size() < before
+    assert dec.release_decode_cache(decoded) is False  # idempotent
+    # a cheap-rescan input (parquet scan) creates nothing to release
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        enc.write_encoded(enc.encode_tokens(seq2, chunk_size=64), d)
+        dec2 = dec.decode_tokens(spark.read.parquet(d))
+        assert dec2.count() == 50
+        assert dec.release_decode_cache(dec2) is False
