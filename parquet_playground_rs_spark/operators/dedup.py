@@ -247,19 +247,43 @@ def minhash_dedup(docs: DataFrame, n: int = 3, k: int = 64, bands: int = 16,
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", seed: int = 42) -> DataFrame:
-    """(doc_id, simhash bigint) 64-bit SimHash over words."""
+            id_col: str = "doc_id", seed: int = 42,
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc_id, simhash bigint) 64-bit SimHash over words (term-frequency
+    weighted: repeated words vote repeatedly).
+
+    hash_fn="xxhash64" (default): one JVM hash per word — the production
+    path. hash_fn="md5": the 64 bits come from two 32-bit halves of
+    md5(word || ':' || seed), which DuckDB computes identically — the
+    oracle-reproducible variant the driver's simhash_near_dups query uses
+    (same trick as sources/histograms._hm). Same algorithm, same LSH
+    downstream; only the word-hash source differs.
+    """
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
-    h = F.xxhash64("word", F.lit(seed))
-    with_h = words.select("doc_id", h.alias("h"))
+    if hash_fn == "md5":
+        md5s = F.md5(F.concat_ws(":", F.col("word"), F.lit(str(seed))))
+        with_h = words.select(
+            "doc_id",
+            F.conv(F.substring(md5s, 1, 8), 16, 10).cast("long").alias("hlo"),
+            F.conv(F.substring(md5s, 9, 8), 16, 10).cast("long").alias("hhi"),
+        )
+
+        def _bit(j: int):
+            src = F.col("hlo") if j < 32 else F.col("hhi")
+            return F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
+    elif hash_fn == "xxhash64":
+        with_h = words.select(
+            "doc_id", F.xxhash64("word", F.lit(seed)).alias("h"))
+
+        def _bit(j: int):
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.when(_bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(64)
     ]
     agg = with_h.groupBy("doc_id").agg(*bit_sums)

@@ -299,3 +299,20 @@ def test_decode_tokens_release_cache(spark):
         dec2 = dec.decode_tokens(spark.read.parquet(d))
         assert dec2.count() == 50
         assert dec.release_decode_cache(dec2) is False
+
+
+def test_encode_summary_synthetic_constants(spark):
+    """Pin the deterministic generator totals the encode_summary oracle
+    inlines as literals: if the generator or chunking changes, this fails
+    before the driver compare does."""
+    import __spark_entry__ as entry
+    from parquet_playground_rs_spark.sources.generator import sequences_df
+
+    syn = sequences_df(spark, 2000, seed=42, partitions=4)
+    r = syn.agg(
+        F.sum(F.greatest(F.lit(1), F.ceil(F.col("n_tok") / 4096)))
+        .alias("nb"),
+        (4 * F.sum("n_tok")).alias("ib"),
+    ).first()
+    assert int(r["nb"]) == entry._SYN_N_BLOCKS
+    assert int(r["ib"]) == entry._SYN_INPUT_BYTES
