@@ -6,8 +6,12 @@ Output: (values int32 concatenated, offsets int64) for the whole batch.
 Headers are parsed with vectorized byte composition (no struct.unpack per
 row), then rows group by (codec, bit width): each group pays ONE
 np.unpackbits + one matrix reduction, with rows padded to byte-aligned
-regions exactly mirroring batch_encode._group_pack. FSST rows (rare) fall
-back to the per-row kernel decoder.
+regions exactly mirroring batch_encode._group_pack. FSST rows use a
+measured hybrid: short rows decode as one vectorized group
+(_decode_fsst_group — lockstep header walk, round-by-round arena
+expansion; loop count is max_rounds, never the row count), long rows go
+through the cache-resident per-row kernel (see FSST_GROUP_MAX_TOKENS for
+the crossover evidence).
 """
 
 from __future__ import annotations
@@ -127,7 +131,7 @@ def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         total = int(counts.sum())
         pref = np.concatenate(([0], np.cumsum(counts)))[:-1]
         idx = np.arange(total) + np.repeat(out_offsets[rows] - pref, counts)
-        out[idx] = vals.astype(np.int32)
+        out[idx] = vals.astype(np.int32, copy=False)
 
     nonzero = n_tok > 0
 
@@ -232,10 +236,206 @@ def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
             base = np.repeat(darena_off[:-1][m], n_tok[g])
             put(g, darena[codes + base])
 
-    # ---- fsst (rare): per-row kernel fallback
+    # ---- fsst: measured hybrid (see FSST_GROUP_MAX_TOKENS)
     rows = np.flatnonzero((codec == CODEC_IDS["fsst"]) & nonzero)
-    for i in rows:
-        vals = kernels.decode(d[boffs[i]: boffs[i + 1]].tobytes())
-        out[out_offsets[i]: out_offsets[i + 1]] = vals
+    if rows.size:
+        small = rows[n_tok[rows] <= FSST_GROUP_MAX_TOKENS]
+        if small.size:
+            put(small, _decode_fsst_group(d, starts[small]))
+        for i in rows[n_tok[rows] > FSST_GROUP_MAX_TOKENS]:
+            out[out_offsets[i]: out_offsets[i + 1]] = \
+                kernels.decode(d[boffs[i]: boffs[i + 1]].tobytes())
 
     return out, out_offsets
+
+
+# Crossover between the two FSST decode strategies, measured on Zipfian
+# corpora (zipf 1.3 mod 500, the fsst_min_ratio=2.0 shape): the arena
+# group decode amortizes per-row overhead and wins ~5x below ~200 tokens
+# (9-10M tok/s vs 1.8M); above ~400 tokens each row's stream is L1/L2
+# resident and the per-row kernel wins up to 3x (15-19M tok/s) because
+# the group path pays explicit int32 index arrays per item — 3-4x the
+# data volume — while per-row positions stay implicit. Memory bandwidth
+# is the ceiling either way; route each row to the cheaper side.
+FSST_GROUP_MAX_TOKENS = 256
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _seg_gather(d: np.ndarray, seg_starts: np.ndarray,
+                seg_lens: np.ndarray, it=np.int64) -> np.ndarray:
+    """Concatenate d[s:s+l] for each (s, l) segment — one fancy index."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=d.dtype)
+    pref = np.concatenate(([0], np.cumsum(seg_lens)))[:-1]
+    idx = np.arange(total, dtype=it) + np.repeat(
+        (seg_starts - pref).astype(it), seg_lens)
+    return d[idx]
+
+
+def _seg_gather_u16(d: np.ndarray, seg_starts: np.ndarray,
+                    seg_lens: np.ndarray, it=np.int64) -> np.ndarray:
+    """Like _seg_gather but segments hold little-endian u16 items;
+    seg_lens counts ITEMS, seg_starts are byte offsets. Returns uint16."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint16)
+    pref = np.concatenate(([0], np.cumsum(seg_lens)))[:-1]
+    pos = (np.arange(total, dtype=it)
+           + np.repeat((seg_starts // 2 - pref).astype(it), seg_lens)) * 2 \
+        + np.repeat((seg_starts % 2).astype(it), seg_lens)
+    return d[pos].astype(np.uint16) | (d[pos + 1].astype(np.uint16)
+                                       << np.uint16(8))
+
+
+def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Decode a group of FSST blobs (kernels.encode_fsst layout) into one
+    int32 value stream, vectorized across rows: the header walk advances
+    all cursors round-by-round in lockstep (segmented popcounts for the
+    escape bitmaps), then the expansion runs innermost-round-outwards over
+    concatenated arenas — per round, ONE unpackbits for every row's escape
+    bitmap, one gather for the symbol tables, one interleave for the pair
+    expansion. No per-row Python in either phase (the round loop is
+    <= max_rounds iterations regardless of row count)."""
+    n = starts.size
+    n_rounds = d[starts + 9].astype(np.int64)
+    max_r = int(n_rounds.max())
+    cursor = (starts + 10).astype(np.int64)
+
+    # per-round header fields, parallel arrays over ALL group rows
+    # (inactive rows carry zeros)
+    tbl_start = np.zeros((max_r, n), dtype=np.int64)
+    n_sym = np.zeros((max_r, n), dtype=np.int64)
+    n_items = np.zeros((max_r, n), dtype=np.int64)
+    bm_start = np.zeros((max_r, n), dtype=np.int64)
+    lit_start = np.zeros((max_r, n), dtype=np.int64)
+    n_in = np.zeros((max_r, n), dtype=np.int64)
+    n_lits = np.zeros((max_r, n), dtype=np.int64)
+    tail = np.full((max_r, n), -1, dtype=np.int64)  # tail code of record r
+    codes_start = np.zeros(n, dtype=np.int64)  # final-codes byte offset
+
+    for r in range(max_r):
+        act = np.flatnonzero(n_rounds > r)
+        c = cursor[act]
+        ns = d[c].astype(np.int64) | (d[c + 1].astype(np.int64) << 8)
+        n_sym[r, act] = ns
+        tbl_start[r, act] = c + 2
+        p = c + 2 + 2 * ns
+        ni = _u32(d, p)
+        n_items[r, act] = ni
+        nb = (ni + 7) // 8
+        bm_start[r, act] = p + 4
+        # segmented popcount over each row's bitmap bytes (zero-padded by
+        # packbits, so full-byte popcounts are exact)
+        pops = _POP8[_seg_gather(d, p + 4, nb)]
+        cs = np.concatenate(([0], np.cumsum(pops)))
+        ends = np.cumsum(nb)
+        pin = cs[ends] - cs[ends - nb]
+        n_in[r, act] = pin
+        nl = ni - pin
+        n_lits[r, act] = nl
+        lit_start[r, act] = p + 4 + nb
+        c2 = p + 4 + nb + 2 * nl
+        # record r carries a tail byte when it is NOT the row's last round
+        more = n_rounds[act] > r + 1
+        mi = act[more]
+        cm = c2[more]
+        flag = d[cm].astype(np.int64)
+        has = flag == 1
+        tail[r, mi[has]] = d[cm[has] + 1]
+        cursor[mi] = cm + 1 + flag
+        # rows ending at round r: [u32 n_codes][codes]
+        li = act[~more]
+        codes_start[li] = c2[~more] + 4
+
+    # ---- expansion, innermost round outwards --------------------------
+    # dtype discipline (memory bandwidth is the ceiling): codes arenas are
+    # uint8, item arenas uint16, fancy indices int32 whenever every
+    # addressed arena fits (round-0 items bound all later sizes)
+    it = np.int32 if max(d.size, 2 * int(n_items[0].sum())) < 2**31 \
+        else np.int64
+    codes_arena = np.empty(0, dtype=np.uint8)
+    codes_lens = np.zeros(n, dtype=np.int64)
+    for r in range(max_r - 1, -1, -1):
+        act_mask = n_rounds > r
+        # codes for this round: rows entering at their last round read the
+        # stored final codes; continuing rows reuse the previous expansion
+        entering = n_rounds == r + 1
+        new_lens = np.where(entering, n_in[r], codes_lens)
+        if entering.all():
+            new_arena = np.ascontiguousarray(
+                _seg_gather(d, codes_start, n_in[r], it))
+        else:
+            new_arena = np.empty(int(new_lens.sum()), dtype=np.uint8)
+            dst_off = np.concatenate(([0], np.cumsum(new_lens)))[:-1]
+            e = np.flatnonzero(entering)
+            if e.size:
+                lens_e = n_in[r, e]
+                pref = np.concatenate(([0], np.cumsum(lens_e)))[:-1]
+                rel = np.arange(int(lens_e.sum()), dtype=it)
+                new_arena[rel + np.repeat((dst_off[e] - pref).astype(it),
+                                          lens_e)] = \
+                    d[rel + np.repeat((codes_start[e] - pref).astype(it),
+                                      lens_e)]
+            cont = np.flatnonzero(act_mask & ~entering)
+            if cont.size:
+                src_off = np.concatenate(([0], np.cumsum(codes_lens)))[:-1]
+                lens_c = codes_lens[cont]
+                pref = np.concatenate(([0], np.cumsum(lens_c)))[:-1]
+                rel = np.arange(int(lens_c.sum()), dtype=it)
+                new_arena[rel + np.repeat((dst_off[cont] - pref).astype(it),
+                                          lens_c)] = \
+                    codes_arena[rel + np.repeat(
+                        (src_off[cont] - pref).astype(it), lens_c)]
+
+        # items: scatter table lookups into in-table slots, literals into
+        # the rest — alignment is by construction (both orders are
+        # (row, position))
+        a = np.flatnonzero(act_mask)
+        ni_a = n_items[r, a]
+        total_items = int(ni_a.sum())
+        nb_a = (ni_a + 7) // 8
+        bits = np.unpackbits(_seg_gather(d, bm_start[r, a], nb_a, it),
+                             bitorder="little")
+        cum_nb = np.concatenate(([0], np.cumsum(nb_a)))[:-1]
+        cum_items = np.concatenate(([0], np.cumsum(ni_a)))[:-1]
+        bit_idx = np.arange(total_items, dtype=it) + np.repeat(
+            (8 * cum_nb - cum_items).astype(it), ni_a)
+        in_t = bits[bit_idx].astype(bool)
+        items = np.empty(total_items, dtype=np.uint16)
+        idx_in = np.flatnonzero(in_t)
+        # table values for in-table items: two-byte compose at
+        # tbl_start[row] + 2*code
+        tpos = np.repeat(tbl_start[r, a].astype(it), ni_a)[idx_in] \
+            + 2 * new_arena.astype(it)
+        items[idx_in] = d[tpos].astype(np.uint16) \
+            | (d[tpos + 1].astype(np.uint16) << np.uint16(8))
+        items[~in_t] = _seg_gather_u16(d, lit_start[r, a], n_lits[r, a], it)
+
+        if r == 0:
+            # items are the raw u16 pairs of the token byte stream; int32
+            # streams are always even so 2 * n_items == 4 * n_tok exactly
+            return np.ascontiguousarray(items).view("<i4")
+
+        # expand pairs (hi<<8 | lo of round r-1 codes) + optional tail of
+        # record r-1 into the next codes arena. byteswap().view(u8) IS the
+        # (hi, lo) interleave — contiguous per row, no index scatter unless
+        # a tail byte must be inserted
+        inter = items.byteswap().view(np.uint8)
+        has_tail = (tail[r - 1, a] >= 0)
+        codes_lens = np.zeros(n, dtype=np.int64)
+        codes_lens[a] = 2 * ni_a + has_tail
+        if not has_tail.any():
+            codes_arena = inter
+        else:
+            codes_arena = np.empty(int(codes_lens.sum()), dtype=np.uint8)
+            new_off = np.concatenate(([0], np.cumsum(codes_lens[a])))[:-1]
+            pref2 = np.concatenate(([0], np.cumsum(2 * ni_a)))[:-1]
+            rel = np.arange(inter.size, dtype=it)
+            codes_arena[rel + np.repeat((new_off - pref2).astype(it),
+                                        2 * ni_a)] = inter
+            t = np.flatnonzero(has_tail)
+            codes_arena[new_off[t] + 2 * ni_a[t]] = tail[r - 1, a[t]]
+    raise AssertionError("unreachable")

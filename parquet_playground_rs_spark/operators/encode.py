@@ -194,13 +194,43 @@ ENCODED_WRITE_OPTIONS = {
     "parquet.column.statistics.enabled#block": "false",
 }
 
+# E5 statistics-granularity modes, mirroring the reference's CLI enum
+# None/Chunk/Page (js2pq/main.rs:18-26 -> arrow-rs EnabledStatistics,
+# applied :85-97). parquet-mr equivalences (probed, footer-verified):
+# - "page"  (default): chunk stats + page-level column index — full.
+# - "none": parquet.column.statistics.enabled=false drops BOTH the chunk
+#   stats and the column index.
+# - "chunk": parquet-mr has no switch that drops only the column index,
+#   so pages are coalesced to one per column chunk (row-count/size limits
+#   above any row-group bound); the column index degenerates to exactly
+#   chunk granularity — the same pruning power as the reference's Chunk.
+STATISTICS_MODES = {
+    "page": {},
+    "chunk": {
+        "parquet.page.row.count.limit": str(1 << 30),
+        "parquet.page.size": str(1 << 30),
+    },
+    "none": {"parquet.column.statistics.enabled": "false"},
+}
+
 
 def write_encoded(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: str | list[str] | None = None,
+                  statistics: str = "page",
                   **extra_options) -> None:
-    """Parquet sink for the encoded table with reference-config fidelity."""
+    """Parquet sink for the encoded table with reference-config fidelity.
+
+    statistics: "none" | "chunk" | "page" — the reference's statistics
+    granularity enum (see STATISTICS_MODES for the parquet-mr mapping).
+    """
+    if statistics not in STATISTICS_MODES:
+        raise ValueError(
+            f"statistics must be one of {sorted(STATISTICS_MODES)}, "
+            f"got {statistics!r}")
     w = df.write.mode(mode)
-    for k, v in {**ENCODED_WRITE_OPTIONS, **extra_options}.items():
+    merged = {**ENCODED_WRITE_OPTIONS,
+              **STATISTICS_MODES[statistics], **extra_options}
+    for k, v in merged.items():
         w = w.option(k, v)
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else partition_by

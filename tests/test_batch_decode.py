@@ -95,3 +95,30 @@ def test_faster_than_per_row():
     # generous margin: this guards against a pathological regression (batch
     # path degenerating to per-row), not micro-speedups; host noise is 3x.
     assert t_batch < t_row * 2.0, (t_batch, t_row)
+
+
+def test_fsst_group_decode_both_hybrid_sides():
+    """r3: FSST batch decode is a measured hybrid — short rows through the
+    vectorized group path, long rows through the per-row kernel. Both
+    sides and the boundary must match the reference kernel decoder,
+    including multi-round blobs, odd-length code streams (tail bytes), and
+    extreme values."""
+    import pyarrow as pa
+
+    from parquet_playground_rs_spark.functions import batch_decode as bd
+
+    rng2 = np.random.default_rng(31)
+    rows = []
+    for n in (1, 3, 17, 100, bd.FSST_GROUP_MAX_TOKENS,
+              bd.FSST_GROUP_MAX_TOKENS + 1, 900, 5000):
+        rows.append((rng2.zipf(1.3, n) % 500).astype(np.int32))
+    rows.append(np.array([2**31 - 1, -(2**31), 0, -1], np.int32))
+    rows.append(np.full(40, 7, np.int32))
+    blobs = []
+    for mr in (1, 2, 3):
+        blobs += [kernels.encode_fsst(r, max_rounds=mr) for r in rows]
+    expected = [kernels.decode(b) for b in blobs]
+    vals, offs = bd.decode_binary_array(pa.array(blobs, type=pa.binary()))
+    for i, e in enumerate(expected):
+        np.testing.assert_array_equal(vals[offs[i]:offs[i + 1]], e,
+                                      err_msg=f"blob {i}")

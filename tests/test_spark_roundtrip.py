@@ -316,3 +316,49 @@ def test_encode_summary_synthetic_constants(spark):
     ).first()
     assert int(r["nb"]) == entry._SYN_N_BLOCKS
     assert int(r["ib"]) == entry._SYN_INPUT_BYTES
+
+
+def test_statistics_granularity_modes(spark, tmp_path):
+    """E5: the statistics mode enum (none/chunk/page) mirroring the
+    reference's CLI granularity control, footer-verified."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from parquet_playground_rs_spark.sources.generator import sequences_df
+
+    # enough rows that the default writer splits data pages (page row
+    # limit 20k), so chunk mode's page coalescing is observable
+    seq2 = sequences_df(spark, 3000, seed=3, partitions=1).cache()
+    encoded = enc.encode_tokens(seq2, chunk_size=512)
+
+    def footer(path):
+        f = glob.glob(path + "/*.parquet")
+        assert len(f) == 1
+        md = pq.ParquetFile(f[0]).metadata
+        col = next(
+            md.row_group(0).column(i)
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema.startswith("doc_id"))
+        import os
+        return col.is_stats_set, col.has_column_index, os.path.getsize(f[0])
+
+    paths = {m: str(tmp_path / m) for m in ("page", "chunk", "none")}
+    for m, p in paths.items():
+        enc.write_encoded(encoded.coalesce(1), p, statistics=m)
+    p_stats, p_index, p_size = footer(paths["page"])
+    c_stats, c_index, c_size = footer(paths["chunk"])
+    n_stats, n_index, _ = footer(paths["none"])
+    assert (p_stats, p_index) == (True, True)     # full granularity
+    assert (n_stats, n_index) == (False, False)   # all stats dropped
+    # chunk: stats kept; column index degenerates to one page per chunk —
+    # observable as strictly fewer page headers (smaller file, same data)
+    assert (c_stats, c_index) == (True, True)
+    assert c_size < p_size
+    # identical data through every mode
+    for p in paths.values():
+        assert spark.read.parquet(p).count() == encoded.count()
+    with _pytest.raises(ValueError):
+        enc.write_encoded(encoded, str(tmp_path / "bad"), statistics="rows")
+    seq2.unpersist()
