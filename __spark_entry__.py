@@ -1162,6 +1162,98 @@ def _q_synthetic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.verify_roundtrip(seq, decoded)
 
 
+def _q_streaming_sessions_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 stateful-streaming correctness at driver level: run the custom
+    applyInPandasWithState sessionizer over the finite events table and
+    compare its CLOSED sessions against the batch window query's sessions.
+
+    Determinism choices: one micro-batch (maxFilesPerTrigger high) so
+    cross-file event order can't shift session boundaries, and a huge
+    watermark so no event-time timeout fires — the stream then emits
+    exactly the batch sessions minus each user's open tail. Sessions are
+    matched on (user_id, start, end, n_events); value sums are compared
+    with a float tolerance (summation order differs between the pandas
+    walk and the JVM aggregate)."""
+    import shutil
+    import tempfile
+
+    from parquet_playground_rs_spark.streaming.sessions import sessionize_stream
+
+    # the streaming file source wants a DIRECTORY; sf events is one file
+    in_dir = tempfile.mkdtemp(prefix="spark_graft_stream_in_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    q = sessionize_stream(spark, in_dir, out_dir,
+                          gap_sec=300.0, watermark="3650 days",
+                          max_files_per_trigger=1_000_000)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = spark.read.parquet(f"{out_dir}/data").select(
+        "user_id",
+        F.col("session_start").cast("long").alias("s_start"),
+        F.col("session_end").cast("long").alias("s_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").alias("v_stream"),
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(sec)
+    gap = sec - F.lag(sec).over(w)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > 300), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = ev.select("user_id", sec.alias("sec"), "value", sid.alias("sid"))
+    batch = sess.groupBy("user_id", "sid").agg(
+        F.min("sec").alias("s_start"), F.max("sec").alias("s_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value").alias("v_batch"),
+    )
+    tails = batch.groupBy("user_id").agg(F.max("sid").alias("_max_sid"))
+    closed = batch.join(tails, "user_id").filter(
+        F.col("sid") != F.col("_max_sid"))
+    matched = closed.join(
+        stream, ["user_id", "s_start", "s_end", "n_events"])
+    a = closed.agg(F.count("*").cast("long").alias("n_batch_closed"))
+    b = stream.agg(F.count("*").cast("long").alias("n_stream_closed"))
+    c = matched.agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.coalesce(
+            F.sum(F.when(
+                F.abs(F.col("v_batch") - F.col("v_stream")) > 1e-6, 1
+            ).otherwise(0)), F.lit(0)).cast("long").alias("n_value_mismatch"),
+    )
+    return a.crossJoin(b).crossJoin(c)
+
+
+_Q_STREAMING_SESSIONS_EQUIV_SQL = """
+WITH w AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS sec,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR floor(epoch(ts))::BIGINT
+                      - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)))::BIGINT > 300
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM w),
+g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid),
+closed AS (
+  SELECT * FROM g
+  WHERE sid != (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id))
+SELECT CAST(count(*) AS BIGINT) AS n_batch_closed,
+       CAST(count(*) AS BIGINT) AS n_stream_closed,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(0 AS BIGINT) AS n_value_mismatch
+FROM closed
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats_by_source": _q_token_stats_by_source,
@@ -1186,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
+        "streaming_sessions_equiv": _q_streaming_sessions_equiv,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "json_props": _q_json_props,
@@ -1216,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _Q_DEDUP_APPLY_SQL,
         "embedding_norms": _Q_EMBEDDING_NORMS_SQL,
         "events_sessions": _Q_EVENTS_SESSIONS_SQL,
+        "streaming_sessions_equiv": _Q_STREAMING_SESSIONS_EQUIV_SQL,
         "events_asof": _Q_EVENTS_ASOF_SQL,
         "events_range_join": _Q_EVENTS_RANGE_SQL,
         "json_props": _Q_JSON_PROPS_SQL,

@@ -75,8 +75,10 @@ def main() -> None:
     from parquet_playground_rs_spark.sources.tokenizer import tokenize_documents
 
     n_rows = _SF_ROWS.get(sf_name(), 1_000_000)
+    # ui=True: the REST status API is the shuffle-byte accounting source
+    # for the minhash extras (negligible overhead in local mode)
     spark = get_spark(app=f"bench-{sf_name()}", cores=CPUS,
-                      shuffle_partitions=CPUS, driver_mem="12g")
+                      shuffle_partitions=CPUS, driver_mem="12g", ui=True)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
@@ -191,6 +193,43 @@ def main() -> None:
     docs_seq.groupBy("source").agg(
         F.count("*"), F.sum("n_tok"), F.max("n_tok")).collect()
     timings["q_token_stats"] = time.time() - t0
+
+    # ---- q_minhash_dedup (extras): LLM-pipeline op end-to-end with
+    # shuffle-byte accounting. The sf documents are replicated 8x with a
+    # one-word mutation (near-dup groups, the realistic dedup load);
+    # shingle -> minhash -> banded LSH -> candidate-first exact confirm.
+    from parquet_playground_rs_spark.operators import dedup as dd
+
+    def shuffle_totals():
+        import urllib.request
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages") as r:
+            stages = json.load(r)
+        return (sum(s.get("shuffleReadBytes", 0) for s in stages),
+                sum(s.get("shuffleWriteBytes", 0) for s in stages))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps8 = spark.range(8).withColumnRenamed("id", "rep")
+    near_docs = (docs.crossJoin(reps8).select(
+        (F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
+        F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                 F.lit(" "), F.col("text")).alias("text")))
+    try:
+        rd0, wr0 = shuffle_totals()
+        t0 = time.time()
+        pairs = dd.minhash_dedup(near_docs, n=3, k=64, bands=16,
+                                 threshold=0.8)
+        n_pairs = pairs.count()
+        extra["q_minhash_dedup_sec"] = round(time.time() - t0, 3)
+        rd1, wr1 = shuffle_totals()
+        extra["minhash_n_docs"] = near_docs.count()
+        extra["minhash_confirmed_pairs"] = int(n_pairs)
+        extra["minhash_shuffle_read_bytes"] = int(rd1 - rd0)
+        extra["minhash_shuffle_write_bytes"] = int(wr1 - wr0)
+    except Exception as e:  # REST metrics need the UI; never fail the bench
+        extra["q_minhash_dedup_err"] = str(e)[:200]
 
     spark.stop()
     print(json.dumps({
