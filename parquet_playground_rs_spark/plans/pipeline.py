@@ -113,11 +113,13 @@ def run_encode_job(
     chunk_size: int = enc.DEFAULT_CHUNK,
     buckets_per_commit: int | None = None,
     fail_after_buckets: int | None = None,
+    statistics: str = "page",
 ) -> dict:
     """Encode `source_df` into `out`, resuming past completed buckets.
 
     `fail_after_buckets` injects a crash for the kill-and-resume test.
-    Returns summary stats for the run.
+    `statistics` is the E5 granularity mode (none/chunk/page) forwarded to
+    the parquet sink. Returns summary stats for the run.
     """
     done = completed_buckets(spark, out)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -156,6 +158,7 @@ def run_encode_job(
         enc.write_encoded(
             encoded, os.path.join(out, "data"),
             partition_by=["source", "bucket"],
+            statistics=statistics,
             partitionOverwriteMode="dynamic",
         )
         wall = time.time() - t0
