@@ -168,6 +168,29 @@ def main() -> None:
     extra["kernel_rowwise_over_columnar"] = round(t_kr / max(t_kc, 1e-9), 1)
     extra["kernel_contrast_blocks"] = len(blocks)
 
+    # ---- FSST decode contrast: a deterministic Zipfian corpus (the
+    # fsst_min_ratio=2.0 shape) forced through fsst vs bitpack; the
+    # measured-hybrid fsst decode must stay within ~2x of the bitpack path
+    import numpy as np
+    rng = np.random.default_rng(11)
+    zrows = [(rng.zipf(1.3, int(rng.integers(8, 600))) % 50000)
+             .astype(np.int32) for _ in range(3000)]
+    z_tok = sum(r.size for r in zrows)
+    t_f = t_b = 1e18
+    fsst_arr = __import__("pyarrow").array(
+        [kernels.encode_fsst(r) for r in zrows], type=__import__("pyarrow").binary())
+    bp_arr = __import__("pyarrow").array(
+        [kernels.encode_bitpack(r) for r in zrows], type=__import__("pyarrow").binary())
+    for _ in range(3):
+        t0 = time.time()
+        batch_decode.decode_binary_array(fsst_arr)
+        t_f = min(t_f, time.time() - t0)
+        t0 = time.time()
+        batch_decode.decode_binary_array(bp_arr)
+        t_b = min(t_b, time.time() - t0)
+    extra["fsst_decode_tokens_per_sec"] = round(z_tok / t_f, 1)
+    extra["fsst_over_bitpack_decode"] = round(t_f / max(t_b, 1e-9), 2)
+
     # ---- compression vs reference-config parquet (zstd + dict, plain col)
     ref_dir = os.path.join(CACHE, f"reference_parquet_{sf_name()}_{n_rows}")
     if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):

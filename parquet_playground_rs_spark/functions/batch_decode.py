@@ -250,14 +250,16 @@ def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 # Crossover between the two FSST decode strategies, measured on Zipfian
-# corpora (zipf 1.3 mod 500, the fsst_min_ratio=2.0 shape): the arena
-# group decode amortizes per-row overhead and wins ~5x below ~200 tokens
-# (9-10M tok/s vs 1.8M); above ~400 tokens each row's stream is L1/L2
-# resident and the per-row kernel wins up to 3x (15-19M tok/s) because
-# the group path pays explicit int32 index arrays per item — 3-4x the
-# data volume — while per-row positions stay implicit. Memory bandwidth
-# is the ceiling either way; route each row to the cheaper side.
-FSST_GROUP_MAX_TOKENS = 256
+# corpora (zipf 1.3, narrow and wide vocab, the fsst_min_ratio=2.0
+# shapes): the arena group decode amortizes per-row numpy overhead and
+# wins ~5x below ~200 tokens (9-10M tok/s vs 1.8M per-row); above ~1-2k
+# tokens each row's stream is L1/L2 resident and the per-row kernel wins
+# (13-19M tok/s) because the group path pays explicit int32 index arrays
+# per item while per-row positions stay implicit. Threshold swept over
+# {256..1024} x three size mixes: 768 maximizes every mix
+# (short-heavy 7.6M/s, long-heavy 9.6M/s, tiny-row 9.0M/s). Memory
+# bandwidth is the ceiling either way; route each row to the cheaper side.
+FSST_GROUP_MAX_TOKENS = 768
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)

@@ -239,3 +239,33 @@ def test_lsh_topk_cap_plan_single_window(spark, emb):
     assert "BroadcastExchange" in p
     # capping still bounds and preserves function: results exist
     assert out.count() > 0
+
+
+def test_simhash_md5_variant_matches_pure_python(spark):
+    """The oracle-reproducible md5 simhash variant must equal an
+    independent pure-python recomputation bit-for-bit (the same closed
+    form the DuckDB oracle evaluates)."""
+    import hashlib
+
+    def py_simhash(text, seed=42):
+        sums = [0] * 64
+        for w in text.split(" "):
+            m = hashlib.md5(f"{w}:{seed}".encode()).hexdigest()
+            h1, h2 = int(m[:8], 16), int(m[8:16], 16)
+            for j in range(64):
+                bit = (h1 >> j) & 1 if j < 32 else (h2 >> (j - 32)) & 1
+                sums[j] += 1 if bit else -1
+        fp = sum(1 << j for j in range(64) if sums[j] > 0)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different words entirely here now",
+        "a a a repeated repeated words words words weighting",
+    ]
+    docs4 = spark.createDataFrame(list(enumerate(texts)),
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs4, hash_fn="md5").collect()}
+    assert got == {i: py_simhash(t) for i, t in enumerate(texts)}

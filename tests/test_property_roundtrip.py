@@ -69,3 +69,21 @@ def test_bss_roundtrips_any_doubles(pairs):
     exp = np.where(mask, vals, 0.0)
     np.testing.assert_array_equal(got_vals.view(np.uint64),
                                   exp.astype("<f8").view(np.uint64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(any_tokens, st.sampled_from(kernels.TOKEN_CODECS)),
+                min_size=1, max_size=16))
+def test_batch_decode_binary_array_roundtrips(items):
+    """Whole-batch decoder (incl. the FSST group path) over arbitrary
+    arrays x every codec: must equal the inputs exactly."""
+    import pyarrow as pa
+
+    from parquet_playground_rs_spark.functions import batch_decode
+
+    blobs = [kernels.encode(a, c) for a, c in items]
+    vals, offs = batch_decode.decode_binary_array(
+        pa.array(blobs, type=pa.binary()))
+    for i, (a, c) in enumerate(items):
+        np.testing.assert_array_equal(vals[offs[i]:offs[i + 1]], a,
+                                      err_msg=f"row {i} codec {c}")
