@@ -114,12 +114,31 @@ def _unpack_group(payload_bytes: np.ndarray, counts: np.ndarray,
     return vals.reshape(-1)[keep_idx].astype(np.int64) + np.repeat(refs, counts)
 
 
+_TOKEN_CODEC_IDS = np.array(
+    [CODEC_IDS[c] for c in
+     ("plain", "bitpack", "fordelta", "rle", "dict", "fsst")],
+    dtype=np.int64)
+
+
 def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a batch of blobs -> (int32 values concat, int64 offsets)."""
+    """Decode a batch of blobs -> (int32 values concat, int64 offsets).
+
+    Fails loudly on undecodable input: null rows, truncated blobs, or an
+    unknown codec byte raise instead of leaving uninitialized output for
+    the rows no branch claims."""
+    if blocks.null_count:
+        raise ValueError("null block rows are not decodable")
     d, boffs = _binary_parts(blocks)
     n = boffs.size - 1
     starts = boffs[:-1]
+    if n and int((boffs[1:] - starts).min()) < 5:
+        raise ValueError("truncated blob: shorter than the 5-byte header")
     codec = d[starts].astype(np.int64) if n else np.zeros(0, np.int64)
+    if n:
+        unknown = ~np.isin(codec, _TOKEN_CODEC_IDS)
+        if unknown.any():
+            raise ValueError(
+                f"unknown codec id(s) {sorted(set(codec[unknown].tolist()))}")
     n_tok = _u32(d, starts + 1) if n else np.zeros(0, np.int64)
     out_offsets = np.concatenate(([0], np.cumsum(n_tok)))
     out = np.empty(int(out_offsets[-1]), dtype=np.int32)

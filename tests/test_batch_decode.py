@@ -122,3 +122,25 @@ def test_fsst_group_decode_both_hybrid_sides():
     for i, e in enumerate(expected):
         np.testing.assert_array_equal(vals[offs[i]:offs[i + 1]], e,
                                       err_msg=f"blob {i}")
+
+
+def test_batch_decode_rejects_undecodable_input():
+    """r3: rows no codec branch claims must raise, never ship
+    uninitialized output bytes."""
+    import pyarrow as pa
+    import pytest
+
+    from parquet_playground_rs_spark.functions import batch_decode as bd
+
+    good = kernels.encode_bitpack(np.arange(10, dtype=np.int32))
+    with pytest.raises(ValueError, match="unknown codec"):
+        bd.decode_binary_array(
+            pa.array([good, b"\xee" + good[1:]], type=pa.binary()))
+    with pytest.raises(ValueError, match="truncated"):
+        bd.decode_binary_array(pa.array([good, b"\x01\x02"], type=pa.binary()))
+    with pytest.raises(ValueError, match="null"):
+        bd.decode_binary_array(pa.array([good, None], type=pa.binary()))
+    # bss blobs belong to the doubles column, not the token table
+    with pytest.raises(ValueError, match="unknown codec"):
+        bd.decode_binary_array(pa.array(
+            [kernels.encode_bss(np.array([1.0]))], type=pa.binary()))
