@@ -1254,6 +1254,51 @@ FROM closed
 """
 
 
+def _q_streaming_incremental_encode(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """§2.7 foreachBatch face of the engine at driver level: stage the
+    tokenized documents as four parquet files, drain the incremental
+    encode stream two files per micro-batch (exactly-once via the
+    checkpoint offset log), then decode the appended encoded table and
+    checksum-verify it against the batch source. Oracle-checked: counts
+    and the block total are SQL-derivable from `documents`."""
+    import tempfile
+
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.streaming.incremental import stream_encode
+
+    seq = _sequences(spark, sf_dir)
+    in_dir = tempfile.mkdtemp(prefix="spark_graft_inc_in_")
+    seq.repartition(4).write.mode("overwrite").parquet(in_dir)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_inc_out_")
+    q = stream_encode(spark, in_dir, out_dir, chunk_size=4096,
+                      max_files_per_trigger=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    encoded = spark.read.parquet(f"{out_dir}/data")
+    verdict = dec.verify_roundtrip(seq, dec.decode_tokens(encoded),
+                                   method="checksum")
+    blocks = encoded.agg(F.count("*").cast("long").alias("n_blocks"))
+    return verdict.crossJoin(blocks)
+
+
+_Q_STREAMING_INCREMENTAL_SQL = """
+WITH d AS (
+  SELECT count(*) AS n,
+         CAST(sum(greatest(1, ceil(len(string_split(text, ' ')) / 4096.0)))
+              AS BIGINT) AS nb
+  FROM documents)
+SELECT CAST(n AS BIGINT) AS n_source,
+       CAST(n AS BIGINT) AS n_decoded,
+       CAST(n AS BIGINT) AS n_joined,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       nb AS n_blocks
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats_by_source": _q_token_stats_by_source,
@@ -1279,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
         "streaming_sessions_equiv": _q_streaming_sessions_equiv,
+        "streaming_incremental_encode": _q_streaming_incremental_encode,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "json_props": _q_json_props,
@@ -1310,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _Q_EMBEDDING_NORMS_SQL,
         "events_sessions": _Q_EVENTS_SESSIONS_SQL,
         "streaming_sessions_equiv": _Q_STREAMING_SESSIONS_EQUIV_SQL,
+        "streaming_incremental_encode": _Q_STREAMING_INCREMENTAL_SQL,
         "events_asof": _Q_EVENTS_ASOF_SQL,
         "events_range_join": _Q_EVENTS_RANGE_SQL,
         "json_props": _Q_JSON_PROPS_SQL,
