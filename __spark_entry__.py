@@ -757,7 +757,11 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                              simhash_near_pairs)
 
     docs = _docs(spark, sf_dir)
-    pairs = simhash_near_pairs(simhash(docs, hash_fn="md5"), max_hamming=3)
+    # max_bucket=None: the oracle is a brute-force hamming scan over ALL
+    # pairs, so the degenerate-block salting (which deliberately drops
+    # cross-sub-bucket pairs) must be off for the sets to be equal
+    pairs = simhash_near_pairs(simhash(docs, hash_fn="md5"), max_hamming=3,
+                               max_bucket=None)
     return pairs.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.coalesce(F.sum(F.col("doc_a") + F.col("doc_b")), F.lit(0))
@@ -1174,14 +1178,20 @@ def _q_streaming_sessions_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched on (user_id, start, end, n_events); value sums are compared
     with a float tolerance (summation order differs between the pandas
     walk and the JVM aggregate)."""
-    import shutil
     import tempfile
 
     from parquet_playground_rs_spark.streaming.sessions import sessionize_stream
 
-    # the streaming file source wants a DIRECTORY; sf events is one file
+    # Stage into a DIRECTORY (the streaming file source requires one) with
+    # ts floored to whole seconds: the stream sessionizer walks exact
+    # epoch floats while the batch window and the DuckDB oracle both floor
+    # (cast-to-long / floor(epoch)), and events carry microseconds — an
+    # exact gap of e.g. 300.349s floors to exactly 300 and the boundary
+    # verdicts would diverge (observed once at sf0.1).
     in_dir = tempfile.mkdtemp(prefix="spark_graft_stream_in_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{in_dir}/events.parquet")
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .withColumn("ts", F.date_trunc("second", F.col("ts").cast("timestamp")))
+     .coalesce(2).write.mode("overwrite").parquet(in_dir))
     out_dir = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
     q = sessionize_stream(spark, in_dir, out_dir,
                           gap_sec=300.0, watermark="3650 days",

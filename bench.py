@@ -172,15 +172,16 @@ def main() -> None:
     # fsst_min_ratio=2.0 shape) forced through fsst vs bitpack; the
     # measured-hybrid fsst decode must stay within ~2x of the bitpack path
     import numpy as np
+    import pyarrow as pa
     rng = np.random.default_rng(11)
     zrows = [(rng.zipf(1.3, int(rng.integers(8, 600))) % 50000)
              .astype(np.int32) for _ in range(3000)]
     z_tok = sum(r.size for r in zrows)
     t_f = t_b = 1e18
-    fsst_arr = __import__("pyarrow").array(
-        [kernels.encode_fsst(r) for r in zrows], type=__import__("pyarrow").binary())
-    bp_arr = __import__("pyarrow").array(
-        [kernels.encode_bitpack(r) for r in zrows], type=__import__("pyarrow").binary())
+    fsst_arr = pa.array([kernels.encode_fsst(r) for r in zrows],
+                        type=pa.binary())
+    bp_arr = pa.array([kernels.encode_bitpack(r) for r in zrows],
+                      type=pa.binary())
     for _ in range(3):
         t0 = time.time()
         batch_decode.decode_binary_array(fsst_arr)

@@ -57,9 +57,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     are filtered by an anti-join on `id_col` that AQE converts to a
     broadcast when the loser set is small — the document table itself
     never shuffles.
+
+    Contract: `id_col` uniquely identifies rows (the standard corpus
+    invariant; the anti-join filters by id). NULL texts dedup together,
+    as in a hash-partitioned formulation: the group key is a sentinel
+    no md5 hex string can collide with, because an equi-join would
+    silently skip NULL keys and leave NULL-text duplicates in place.
     """
-    ids = docs.select(F.md5(F.col(text_col)).alias("_h"),
-                      F.col(id_col).alias("_id"))
+    key = F.when(F.col(text_col).isNull(), F.lit("\x00null")) \
+        .otherwise(F.md5(F.col(text_col)))
+    ids = docs.select(key.alias("_h"), F.col(id_col).alias("_id"))
     dup_groups = (
         ids.groupBy("_h")
         .agg(F.min("_id").alias("_winner"), F.count("*").alias("_n"))
@@ -298,8 +305,11 @@ def simhash(docs: DataFrame, text_col: str = "text",
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
                        max_bucket: int | None = 4096) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming via 4-band
-    16-bit block LSH (any pair within hamming 3 shares >= 1 exact block).
-    max_bucket salts degenerate blocks (see _cap_buckets)."""
+    16-bit block LSH (pigeonhole: any pair within hamming 3 shares >= 1
+    exact block, so the pair set is COMPLETE when max_bucket is None).
+    max_bucket salts degenerate blocks (see _cap_buckets) — that cap
+    deliberately trades cross-sub-bucket pairs for a bounded self-join,
+    so exhaustive consumers (oracle comparisons) must pass None."""
     blocks = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

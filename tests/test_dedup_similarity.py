@@ -269,3 +269,12 @@ def test_simhash_md5_variant_matches_pure_python(spark):
     got = {r["doc_id"]: r["simhash"]
            for r in dedup.simhash(docs4, hash_fn="md5").collect()}
     assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
+
+def test_exact_dedup_null_texts_dedup_together(spark):
+    """Review r3: an equi-join on md5(text) would silently skip NULL keys
+    and keep every NULL-text duplicate; they must dedup as one group."""
+    rows = [(1, None), (2, None), (3, "x"), (4, "x"), (5, None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup.exact_dedup(d).collect()}
+    assert kept == {1, 3}
