@@ -123,9 +123,14 @@ _TOKEN_CODEC_IDS = np.array(
 def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of blobs -> (int32 values concat, int64 offsets).
 
-    Fails loudly on undecodable input: null rows, truncated blobs, or an
-    unknown codec byte raise instead of leaving uninitialized output for
-    the rows no branch claims."""
+    Fails loudly on header-level corruption: null rows, blobs shorter
+    than the 5-byte common header, or an unknown codec byte raise instead
+    of leaving uninitialized output for rows no branch claims. Payload
+    truncation BELOW the header (a blob whose header promises more bytes
+    than it carries) is not detected here — blobs live in one flat batch
+    buffer, so a short payload reads into the neighboring blob; storage
+    integrity below the header is the parquet/ZSTD checksum layer's
+    job."""
     if blocks.null_count:
         raise ValueError("null block rows are not decodable")
     d, boffs = _binary_parts(blocks)
@@ -296,6 +301,20 @@ def _seg_gather(d: np.ndarray, seg_starts: np.ndarray,
     return d[idx]
 
 
+def _seg_copy(dst: np.ndarray, dst_starts: np.ndarray,
+              src: np.ndarray, src_starts: np.ndarray,
+              seg_lens: np.ndarray, it=np.int64) -> None:
+    """dst[ds:ds+l] = src[ss:ss+l] for each segment — one fancy-index
+    assignment, shared prefix-sum algebra with _seg_gather."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return
+    pref = np.concatenate(([0], np.cumsum(seg_lens)))[:-1]
+    rel = np.arange(total, dtype=it)
+    dst[rel + np.repeat((dst_starts - pref).astype(it), seg_lens)] = \
+        src[rel + np.repeat((src_starts - pref).astype(it), seg_lens)]
+
+
 def _seg_gather_u16(d: np.ndarray, seg_starts: np.ndarray,
                     seg_lens: np.ndarray, it=np.int64) -> np.ndarray:
     """Like _seg_gather but segments hold little-endian u16 items;
@@ -393,23 +412,13 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
             dst_off = np.concatenate(([0], np.cumsum(new_lens)))[:-1]
             e = np.flatnonzero(entering)
             if e.size:
-                lens_e = n_in[r, e]
-                pref = np.concatenate(([0], np.cumsum(lens_e)))[:-1]
-                rel = np.arange(int(lens_e.sum()), dtype=it)
-                new_arena[rel + np.repeat((dst_off[e] - pref).astype(it),
-                                          lens_e)] = \
-                    d[rel + np.repeat((codes_start[e] - pref).astype(it),
-                                      lens_e)]
+                _seg_copy(new_arena, dst_off[e], d, codes_start[e],
+                          n_in[r, e], it)
             cont = np.flatnonzero(act_mask & ~entering)
             if cont.size:
                 src_off = np.concatenate(([0], np.cumsum(codes_lens)))[:-1]
-                lens_c = codes_lens[cont]
-                pref = np.concatenate(([0], np.cumsum(lens_c)))[:-1]
-                rel = np.arange(int(lens_c.sum()), dtype=it)
-                new_arena[rel + np.repeat((dst_off[cont] - pref).astype(it),
-                                          lens_c)] = \
-                    codes_arena[rel + np.repeat(
-                        (src_off[cont] - pref).astype(it), lens_c)]
+                _seg_copy(new_arena, dst_off[cont], codes_arena,
+                          src_off[cont], codes_lens[cont], it)
 
         # items: scatter table lookups into in-table slots, literals into
         # the rest — alignment is by construction (both orders are
@@ -454,9 +463,7 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
             codes_arena = np.empty(int(codes_lens.sum()), dtype=np.uint8)
             new_off = np.concatenate(([0], np.cumsum(codes_lens[a])))[:-1]
             pref2 = np.concatenate(([0], np.cumsum(2 * ni_a)))[:-1]
-            rel = np.arange(inter.size, dtype=it)
-            codes_arena[rel + np.repeat((new_off - pref2).astype(it),
-                                        2 * ni_a)] = inter
+            _seg_copy(codes_arena, new_off, inter, pref2, 2 * ni_a, it)
             t = np.flatnonzero(has_tail)
             codes_arena[new_off[t] + 2 * ni_a[t]] = tail[r - 1, a[t]]
     raise AssertionError("unreachable")

@@ -81,7 +81,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         F.col(by), F.col(on), F.lit(1).alias("_is_r"),
         F.struct(*[F.col(c) for c in value_cols]).alias("_rvals"),
     )
-    rtype = dict(tagged_r.dtypes)["_rvals"]
+    # cast with the DataType OBJECT: round-tripping through the dtypes DDL
+    # string breaks on field names the DDL parser rejects (spaces, colons)
+    rtype = tagged_r.schema["_rvals"].dataType
     tagged_l = (left.withColumn("_is_r", F.lit(0))
                 .withColumn("_rvals", F.lit(None).cast(rtype)))
     combined = tagged_l.unionByName(tagged_r, allowMissingColumns=True)

@@ -169,24 +169,48 @@ def decode_tokens(encoded: DataFrame, materialize: bool | None = None) -> DataFr
     out = single.unionByName(multi).withColumn(
         "n_tok", F.size("tokens").cast("int"))
     # persist lifecycle: the cache this call created is released via
-    # release_decode_cache(out) once the consuming actions complete —
-    # one-shot jobs can ignore it, long-lived sessions must not accrete
-    # cached blocks until eviction pressure
+    # release_decode_cache(out) — or release_all_decode_caches() — once
+    # the consuming actions complete. One-shot jobs can ignore it;
+    # long-lived sessions must not accrete cached blocks until eviction
+    # pressure.
     out._persisted_input = persisted
+    if persisted is not None:
+        _LIVE_DECODE_CACHES.append(persisted)
     return out
+
+
+# persisted inputs decode_tokens created and nobody released yet; the
+# per-DataFrame attribute does not survive further transformations
+# (df.filter(...) is a NEW DataFrame), so long-lived sessions that
+# compose results can sweep everything with release_all_decode_caches()
+_LIVE_DECODE_CACHES: list[DataFrame] = []
 
 
 def release_decode_cache(decoded: DataFrame) -> bool:
     """Unpersist the input that decode_tokens materialized for `decoded`
     (autodetect/materialize=True path). Returns True if a cache was
     released, False if there was nothing to release. Safe to call more
-    than once."""
+    than once. NOTE: the handle rides on the exact DataFrame
+    decode_tokens returned — a derived frame (filter/select/...) loses
+    it; use release_all_decode_caches() after composing."""
     handle = getattr(decoded, "_persisted_input", None)
     if handle is None:
         return False
     handle.unpersist()
     decoded._persisted_input = None
+    if handle in _LIVE_DECODE_CACHES:
+        _LIVE_DECODE_CACHES.remove(handle)
     return True
+
+
+def release_all_decode_caches() -> int:
+    """Unpersist every outstanding decode_tokens cache in this process.
+    Returns the number released."""
+    n = 0
+    while _LIVE_DECODE_CACHES:
+        _LIVE_DECODE_CACHES.pop().unpersist()
+        n += 1
+    return n
 
 
 def verify_roundtrip(source_df: DataFrame, decoded_df: DataFrame,

@@ -58,8 +58,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     broadcast when the loser set is small — the document table itself
     never shuffles.
 
-    Contract: `id_col` uniquely identifies rows (the standard corpus
-    invariant; the anti-join filters by id). NULL texts dedup together,
+    Contract: `id_col` uniquely identifies rows AND both columns are
+    deterministic across re-execution (stable storage or seeded
+    expressions — the engine-wide resumability rule; NOT
+    monotonically_increasing_id/uuid), because the plan scans `docs`
+    three times (sizes, losers, anti-join) — the deliberate trade of two
+    extra column-pruned scans for never shuffling the document table.
+    NULL texts dedup together,
     as in a hash-partitioned formulation: the group key is a sentinel
     no md5 hex string can collide with, because an equi-join would
     silently skip NULL keys and leave NULL-text duplicates in place.
@@ -134,9 +139,13 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
 
     Bucket sizes come from a partial-aggregated groupBy (only distinct
     (band, key) counts shuffle), filtered to the oversized keys — a set
-    that is small BY CONSTRUCTION (<= n_rows / max_bucket) — and
-    broadcast-joined back. The previous window formulation shuffled and
-    sorted the whole banded table once more just to learn the sizes.
+    bounded by n_rows / max_bucket, so normally tiny — joined back WITHOUT
+    a broadcast hint: AQE broadcasts it at runtime when it is small (the
+    normal case) but falls back to a metadata-only shuffled join on an
+    adversarial corpus where most keys are degenerate and the set itself
+    is too large to collect to the driver. The previous window formulation
+    shuffled and sorted the whole banded table once more just to learn
+    the sizes.
     """
     if not max_bucket:
         return banded, keys
@@ -146,7 +155,7 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
         .agg(F.count("*").alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket)
     )
-    salted = banded.join(F.broadcast(oversized), keys, "left")
+    salted = banded.join(oversized, keys, "left")
     sub = F.when(F.col("_bsz").isNull(), F.lit(0).cast("long")).otherwise(
         F.pmod(F.xxhash64(id_col, F.lit(1013)),
                F.ceil(F.col("_bsz") / F.lit(max_bucket)))

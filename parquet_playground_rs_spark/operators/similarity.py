@@ -129,15 +129,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .withColumnRenamed("id", "neighbor_id")
     if max_bucket:
         # sizes via partial-aggregated groupBy filtered to oversized keys
-        # (small by construction), broadcast back — not a window over the
-        # whole banded table (which would shuffle+sort it once more)
+        # (normally tiny: <= n_rows/max_bucket), joined back without a
+        # broadcast hint so AQE broadcasts when small but never collects
+        # an adversarially large set to the driver — and never a window
+        # over the whole banded table (which would shuffle+sort it again)
         oversized = (
             cb.groupBy("band", "key")
             .agg(F.count("*").alias("_bsz"))
             .filter(F.col("_bsz") > max_bucket)
         )
         cb = (
-            cb.join(F.broadcast(oversized), ["band", "key"], "left")
+            cb.join(oversized, ["band", "key"], "left")
             .filter(
                 F.col("_bsz").isNull()
                 | (F.pmod(F.xxhash64("neighbor_id", F.lit(1013)),

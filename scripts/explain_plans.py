@@ -198,12 +198,13 @@ def main() -> None:
     # window re-shuffle of the whole banded table
     cand = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4,
                                      max_bucket=64)
+    cand.collect()  # AQE decides the size-join strategy at runtime
     p = cand._jdf.queryExecution().executedPlan().toString()
     sections.append((
-        "LSH bucket cap: aggregate + broadcast, no window",
+        "LSH bucket cap: aggregate + AQE-broadcast, no window",
         p[:4000],
         ["no Window node -> %s" % ("PASS" if "Window" not in p else "FAIL"),
-         "BroadcastExchange of the oversized-key set -> %s"
+         "AQE broadcast of the (small) oversized-key set -> %s"
          % ("PASS" if "BroadcastExchange" in p else "FAIL")],
     ))
 

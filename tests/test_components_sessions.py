@@ -299,3 +299,16 @@ def test_streaming_sessionize_watermark_outlives_gap(spark, tmp_path):
             r["n_events"], r["value_sum"])
            for r in spark.read.parquet(f"{out_dir}/data").collect()}
     assert (1, float(base), float(base + 100), 2, 3.0) in got
+
+
+def test_asof_join_ddl_hostile_column_names(spark):
+    """Review r3: value columns whose names the DDL parser rejects
+    (spaces) must still join — the null-struct cast uses the DataType
+    object, not a dtypes string round-trip."""
+    from parquet_playground_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20)], "user_id long, ts long")
+    right = spark.createDataFrame([(1, 10, 5.0)], "user_id long, ts long, `r v` double")
+    got = asof_join(left, right, on="ts", by="user_id",
+                    value_cols=["r v"]).collect()
+    assert got[0]["r v_asof"] == 5.0

@@ -211,19 +211,20 @@ def test_exact_dedup_plan_metadata_only(spark, docs):
 
 
 def test_bucket_cap_plan_broadcast_not_window(spark):
-    """r3: _cap_buckets learns bucket sizes via aggregate + broadcast join,
-    not a window over the whole banded table."""
-    import re
-
+    """r3: _cap_buckets learns bucket sizes via an aggregate joined back
+    WITHOUT a broadcast hint — AQE broadcasts the (small) oversized-key
+    set at runtime; no window over the whole banded table; never a forced
+    driver collect of an adversarially large set."""
     rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
             for i in range(500)]
     docs500 = spark.createDataFrame(rows, "doc_id long, text string")
     sigs = dedup.minhash_signatures(dedup.word_shingles(docs500, n=3), k=16)
     cand = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4,
                                      max_bucket=100)
+    cand.collect()  # finalize the adaptive plan
     p = cand._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in p
-    assert "BroadcastExchange" in p
+    assert "BroadcastExchange" in p  # AQE converted the size join
 
 
 def test_lsh_topk_cap_plan_single_window(spark, emb):
@@ -234,11 +235,13 @@ def test_lsh_topk_cap_plan_single_window(spark, emb):
     dim = len(emb.select("embedding").first()["embedding"])
     out = similarity.lsh_topk(emb, emb.orderBy("vec_id").limit(3),
                               dim=dim, k=3, max_bucket=10)
-    p = out._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"\bWindow\b", p)) == 1, p
-    assert "BroadcastExchange" in p
     # capping still bounds and preserves function: results exist
     assert out.count() > 0
+    out.collect()  # finalize the adaptive plan on this df's execution
+    p = out._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert len(re.findall(r"\bWindow\b", final)) == 1, final
+    assert "BroadcastExchange" in final
 
 
 def test_simhash_md5_variant_matches_pure_python(spark):

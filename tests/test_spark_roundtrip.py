@@ -362,3 +362,17 @@ def test_statistics_granularity_modes(spark, tmp_path):
     with _pytest.raises(ValueError):
         enc.write_encoded(encoded, str(tmp_path / "bad"), statistics="rows")
     seq2.unpersist()
+
+
+def test_release_all_decode_caches_after_composition(spark):
+    """Review r3: a derived frame loses the per-DataFrame persist handle;
+    the process-wide sweep must still release the cache."""
+    from parquet_playground_rs_spark.sources.generator import sequences_df
+
+    seq3 = sequences_df(spark, 40, seed=9, partitions=2)
+    composed = dec.decode_tokens(enc.encode_tokens(seq3, chunk_size=64)) \
+        .filter(F.col("n_tok") >= 0)
+    assert composed.count() == 40
+    assert dec.release_decode_cache(composed) is False  # handle lost
+    assert dec.release_all_decode_caches() >= 1
+    assert dec.release_all_decode_caches() == 0
