@@ -238,6 +238,36 @@ def write_encoded(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_encoded_bucketed(df: DataFrame, table: str, path: str,
+                           n_buckets: int = 64,
+                           bucket_col: str = "doc_id",
+                           statistics: str = "page",
+                           **extra_options) -> None:
+    """Bucketed + sorted parquet table for CO-LOCATED joins.
+
+    The encoded table's dominant consumers join it back on `doc_id`
+    (verify-vs-source, dedup apply, reassembly audits). Writing both
+    sides with `bucketBy(n, doc_id).sortBy(doc_id)` lets Spark plan those
+    joins with ZERO exchange and zero sort — each task zips matching
+    buckets — which at 10^12 rows removes the single largest shuffle in
+    the verify path. Bucket count must match across the joined tables.
+    Registered via saveAsTable (bucket metadata lives in the catalog);
+    `path` makes it an external table so the files outlive the session.
+    """
+    if statistics not in STATISTICS_MODES:
+        raise ValueError(
+            f"statistics must be one of {sorted(STATISTICS_MODES)}, "
+            f"got {statistics!r}")
+    w = (df.write.mode("overwrite").format("parquet")
+         .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+         .option("path", path))
+    merged = {**ENCODED_WRITE_OPTIONS,
+              **STATISTICS_MODES[statistics], **extra_options}
+    for k, v in merged.items():
+        w = w.option(k, v)
+    w.saveAsTable(table)
+
+
 def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
     """Chunk long-tail documents JVM-side; output one row per chunk.
 

@@ -208,6 +208,32 @@ def main() -> None:
          % ("PASS" if "BroadcastExchange" in p else "FAIL")],
     ))
 
+    # 4i. bucketed co-located join: encoded x source bucketed by doc_id
+    # must join with zero exchange and zero extra sort
+    enc.write_encoded_bucketed(
+        enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK)
+        .filter("n_chunks = 1"), "plans_enc_b", "/tmp/plans_enc_b",
+        n_buckets=8)
+    enc.write_encoded_bucketed(seq, "plans_src_b", "/tmp/plans_src_b",
+                               n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    j = spark.table("plans_enc_b").join(spark.table("plans_src_b"),
+                                        "doc_id").select("doc_id", "codec")
+    j.collect()
+    p = j._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS plans_enc_b")
+    spark.sql("DROP TABLE IF EXISTS plans_src_b")
+    sections.append((
+        "Bucketed co-located join (verify path): zero exchange",
+        p[:4000],
+        ["no Exchange anywhere in the final plan -> %s"
+         % ("PASS" if "Exchange" not in p else "FAIL"),
+         "SortMergeJoin zips matching buckets -> %s"
+         % ("PASS" if "SortMergeJoin" in p else "FAIL")],
+    ))
+
     # 5. ANN: query side broadcast
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     p = plan_of(similarity.brute_force_topk(emb, emb.limit(5), k=3))

@@ -376,3 +376,31 @@ def test_release_all_decode_caches_after_composition(spark):
     assert dec.release_decode_cache(composed) is False  # handle lost
     assert dec.release_all_decode_caches() >= 1
     assert dec.release_all_decode_caches() == 0
+
+
+def test_bucketed_tables_join_without_exchange(spark, seq, tmp_path):
+    """r3: co-located joins — encoded table and source bucketed by doc_id
+    into the same bucket count must join with ZERO exchange and zero
+    sort (the verify path's dominant shuffle at 10^12 rows)."""
+    enc.write_encoded_bucketed(
+        enc.encode_tokens(seq, chunk_size=512).filter("n_chunks = 1"),
+        "enc_b", str(tmp_path / "enc_b"), n_buckets=8)
+    enc.write_encoded_bucketed(seq, "src_b", str(tmp_path / "src_b"),
+                               n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("enc_b").join(spark.table("src_b"), "doc_id") \
+            .select("doc_id", "codec", "n_tok")
+        n = j.count()
+        assert n == spark.table("enc_b").count()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]
+        assert "Exchange" not in final, final
+        assert "SortMergeJoin" in final
+        # bucket sort is reused: no Sort node above the scans either
+        assert final.count("Sort ") <= 2  # SMJ prints sort keys, not nodes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS enc_b")
+        spark.sql("DROP TABLE IF EXISTS src_b")
