@@ -201,14 +201,17 @@ ENCODED_WRITE_OPTIONS = {
 # - "none": parquet.column.statistics.enabled=false drops BOTH the chunk
 #   stats and the column index.
 # - "chunk": parquet-mr has no switch that drops only the column index,
-#   so pages are coalesced to one per column chunk (row-count/size limits
-#   above any row-group bound); the column index degenerates to exactly
-#   chunk granularity — the same pruning power as the reference's Chunk.
+#   so pages are coalesced toward one per column chunk: the row-count
+#   limit is lifted entirely and the page size raised to 8 MiB (typical
+#   column chunks compress far below that). page.size must stay MODEST:
+#   parquet-mr PREALLOCATES a compressor buffer of page.size per task
+#   (CodecFactory$HeapBytesCompressor), so a huge value OOMs concurrent
+#   writers — found by an OOM under 16 parallel tasks at 1 GiB.
 STATISTICS_MODES = {
     "page": {},
     "chunk": {
         "parquet.page.row.count.limit": str(1 << 30),
-        "parquet.page.size": str(1 << 30),
+        "parquet.page.size": str(8 << 20),
     },
     "none": {"parquet.column.statistics.enabled": "false"},
 }

@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--buckets-per-commit", type=int, default=None)
     ap.add_argument("--verify", choices=["none", "checksum", "hash", "exact"],
                     default="checksum")
+    ap.add_argument("--statistics", choices=["none", "chunk", "page"],
+                    default="page",
+                    help="parquet statistics granularity (reference E5 enum)")
     ap.add_argument("--resume", action="store_true",
                     help="documentational; resume is always on")
     args = ap.parse_args()
@@ -52,7 +55,8 @@ def main() -> None:
     summary = pl.run_encode_job(
         spark, src, args.output, n_buckets=args.buckets,
         chunk_size=args.chunk_size,
-        buckets_per_commit=args.buckets_per_commit)
+        buckets_per_commit=args.buckets_per_commit,
+        statistics=args.statistics)
     if args.verify != "none":
         decoded = dec.decode_tokens(pl.read_encoded(spark, args.output))
         row = dec.verify_roundtrip(src, decoded, method=args.verify).first()
