@@ -143,11 +143,13 @@ def _decode_bss_batch(data: np.ndarray, blob_off: np.ndarray):
     0.0, validity bool, int64 row offsets)."""
     off = blob_off[:-1].astype(np.int64)
     n_rows = off.size
+    if n_rows and int((blob_off[1:] - off).min()) < 5:
+        raise ValueError("truncated bss blob: shorter than the 5-byte header")
     # u32 n at off+1, little-endian byte composition
     n = np.zeros(n_rows, dtype=np.int64)
     for k in range(4):
         n |= data[off + 1 + k].astype(np.int64) << (8 * k)
-    if (data[off][n > 0] != kernels.CODEC_IDS["bss"]).any():
+    if (data[off] != kernels.CODEC_IDS["bss"]).any():
         raise ValueError("non-bss blob in batch")
     nb = np.where(n > 0, (n + 7) // 8, 0)
     offsets = np.concatenate(([0], np.cumsum(n)))
@@ -193,6 +195,8 @@ def decode_doubles_bss(encoded: DataFrame) -> DataFrame:
             blocks = batch.column("block").combine_chunks() \
                 if isinstance(batch.column("block"), pa.ChunkedArray) \
                 else batch.column("block")
+            if blocks.null_count:
+                raise ValueError("null bss block rows are not decodable")
             bufs = blocks.buffers()
             boff = np.frombuffer(bufs[1], dtype=np.int32,
                                  count=len(blocks) + 1,

@@ -155,3 +155,26 @@ def test_encode_bss_batch_sliced_list_array():
         m = np.array([x is not None for x in row], dtype=bool)
         expect = kernels.encode_bss(v, m)
         assert data[boff[i]:boff[i + 1]].tobytes() == expect, f"row {i}"
+
+
+def test_bss_batch_decode_rejects_undecodable():
+    """r3: same fail-loudly contract as the token batch decoder."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from parquet_playground_rs_spark.operators.doubles import _decode_bss_batch
+
+    good = kernels.encode_bss(np.array([1.5, 2.5]))
+
+    def run(blobs):
+        offs = np.cumsum([0] + [len(b) for b in blobs]).astype(np.int64)
+        data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        return _decode_bss_batch(data, offs)
+
+    with _pytest.raises(ValueError, match="truncated"):
+        run([good, b"\x07\x00"])
+    with _pytest.raises(ValueError, match="non-bss"):
+        run([good, kernels.encode_plain(np.array([1], dtype=np.int32))])
+    # empty-array blobs stay decodable
+    vals, valid, offsets = run([good, kernels.encode_bss(np.empty(0))])
+    assert offsets.tolist() == [0, 2, 2]
