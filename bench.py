@@ -134,6 +134,17 @@ def main() -> None:
     extra["q_verify_checksum_sec"] = round(statistics.median(reps), 3)
     extra["checksum_mismatch"] = int(v2["n_mismatch"])
 
+    # ---- reassembly-free per-chunk verify (zero exchanges: both sides
+    # hash the same chunk grid; the win grows with long-document corpora)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        v3 = dec.verify_encoded(seq, spark.read.parquet(out_dir),
+                                chunk_size=enc.DEFAULT_CHUNK).first()
+        reps.append(time.time() - t0)
+    extra["q_verify_chunks_sec"] = round(statistics.median(reps), 3)
+    extra["chunk_verify_mismatch"] = int(v3["n_mismatch"])
+
     # ---- rowwise-vs-columnar decode contrast (the reference's parqbench
     # row-by-row vs columnar reader comparison, main.rs:33-39) on a
     # bounded sample — the ratio is the point, not the absolute time

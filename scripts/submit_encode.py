@@ -34,8 +34,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--chunk-size", type=int, default=16384)
     ap.add_argument("--buckets-per-commit", type=int, default=None)
-    ap.add_argument("--verify", choices=["none", "checksum", "hash", "exact"],
-                    default="checksum")
+    ap.add_argument("--verify",
+                    choices=["none", "chunks", "checksum", "hash", "exact"],
+                    default="chunks",
+                    help="'chunks' = reassembly-free per-chunk checksum "
+                         "(zero exchanges, the 10^12-row default)")
     ap.add_argument("--statistics", choices=["none", "chunk", "page"],
                     default="page",
                     help="parquet statistics granularity (reference E5 enum)")
@@ -58,8 +61,13 @@ def main() -> None:
         buckets_per_commit=args.buckets_per_commit,
         statistics=args.statistics)
     if args.verify != "none":
-        decoded = dec.decode_tokens(pl.read_encoded(spark, args.output))
-        row = dec.verify_roundtrip(src, decoded, method=args.verify).first()
+        if args.verify == "chunks":
+            row = dec.verify_encoded(src, pl.read_encoded(spark, args.output),
+                                     chunk_size=args.chunk_size).first()
+        else:
+            decoded = dec.decode_tokens(pl.read_encoded(spark, args.output))
+            row = dec.verify_roundtrip(src, decoded,
+                                       method=args.verify).first()
         summary["verify"] = {k: int(row[k]) for k in
                              ("n_source", "n_decoded", "n_joined", "n_mismatch")}
         if row["n_mismatch"] != 0:

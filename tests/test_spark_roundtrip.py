@@ -404,3 +404,36 @@ def test_bucketed_tables_join_without_exchange(spark, seq, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS enc_b")
         spark.sql("DROP TABLE IF EXISTS src_b")
+
+
+def test_fused_verify_matches_and_catches_corruption(spark, seq):
+    """r3: the reassembly-free per-chunk verify (both sides hash the same
+    chunk grid JVM-side, no join, no multi-chunk groupBy) agrees with the
+    exact join verify, detects token corruption, and requires the
+    matching chunk grid."""
+    encoded = enc.encode_tokens(seq, chunk_size=512).cache()
+    try:
+        ok = dec.verify_encoded(seq, encoded, chunk_size=512).first()
+        assert ok["n_mismatch"] == 0
+        assert ok["n_source"] == ok["n_decoded"] == ok["n_joined"] > N_ROWS
+        # corruption: swap one document's tokens for another's
+        bad_seq = seq.withColumn(
+            "tokens",
+            F.when(F.col("doc_id") == seq.first()["doc_id"],
+                   F.array(F.lit(999))).otherwise(F.col("tokens")))
+        assert dec.verify_encoded(bad_seq, encoded, chunk_size=512) \
+            .first()["n_mismatch"] == -1
+        # wrong chunk grid is a mismatch, not a silent pass
+        assert dec.verify_encoded(seq, encoded, chunk_size=256) \
+            .first()["n_mismatch"] == -1
+        # row-count drift detected
+        assert dec.verify_encoded(seq.limit(100), encoded, chunk_size=512) \
+            .first()["n_mismatch"] == -1
+    finally:
+        encoded.unpersist()
+    # empty inputs are vacuously correct
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    empty_enc = enc.encode_tokens(empty, chunk_size=512)
+    r = dec.verify_encoded(empty, empty_enc, chunk_size=512).first()
+    assert r["n_mismatch"] == 0 and r["n_source"] == 0
