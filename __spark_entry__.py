@@ -1146,6 +1146,29 @@ def _q_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("corpus")
 
 
+def _q_chunk_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-exchange per-chunk verify (operators/decode.verify_encoded)
+    over a composed encode: both sides hash the same chunk grid, counts
+    are chunk counts — SQL-derivable from `documents`."""
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.operators import encode as enc
+
+    seq = _sequences(spark, sf_dir).cache()
+    encoded = enc.encode_tokens(seq, chunk_size=2048)
+    return dec.verify_encoded(seq, encoded, chunk_size=2048)
+
+
+_Q_CHUNK_VERIFY_SQL = """
+WITH d AS (
+  SELECT CAST(sum(greatest(1, ceil(len(string_split(text, ' ')) / 2048.0)))
+              AS BIGINT) AS nb
+  FROM documents)
+SELECT nb AS n_source, nb AS n_decoded, nb AS n_joined,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM d
+"""
+
+
 def _q_roundtrip_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_playground_rs_spark.operators import decode as dec
     from parquet_playground_rs_spark.operators import encode as enc
@@ -1344,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowwise_columnar_equiv": _q_rowwise_columnar_equiv,
         "encode_summary": _q_encode_summary,
         "roundtrip_verify": _q_roundtrip_verify,
+        "chunk_verify": _q_chunk_verify,
         "synthetic_roundtrip": _q_synthetic_roundtrip,
     }
 
@@ -1367,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _Q_EVENTS_SESSIONS_SQL,
         "streaming_sessions_equiv": _Q_STREAMING_SESSIONS_EQUIV_SQL,
         "streaming_incremental_encode": _Q_STREAMING_INCREMENTAL_SQL,
+        "chunk_verify": _Q_CHUNK_VERIFY_SQL,
         "events_asof": _Q_EVENTS_ASOF_SQL,
         "events_range_join": _Q_EVENTS_RANGE_SQL,
         "json_props": _Q_JSON_PROPS_SQL,
