@@ -21,7 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF001 = "/root/testdata/sf0.001"
 
-STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+# single source of truth: the SAME list gopher_keep/text_quality use —
+# a local copy would let the Spark side and the oracle SQL drift apart
+from parquet_playground_rs_spark.functions.text import \
+    STOPWORDS_EN as STOPWORDS  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,8 +151,13 @@ def _q_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .select("o_orderkey", "o_orderstatus")
+    # persist: repartitionByRange SAMPLES its boundaries, and `ranged`
+    # feeds two branches (starts agg + bounds agg). Exchange reuse makes
+    # them share one evaluation today, but that is a plan-canonicalization
+    # detail — a pinned evaluation keeps n_starts and n_merged provably
+    # consistent (same reason build_vocab persists its ranked frame).
     ranged = orders.repartitionByRange(16, "o_orderkey") \
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("pid", F.spark_partition_id()).persist()
     lw = Window.partitionBy("pid").orderBy("o_orderkey")
     starts = ranged.select(
         "pid", "o_orderkey", "o_orderstatus",
@@ -474,8 +482,11 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_NGRAM_JACCARD_SQL = """
-WITH ws AS (
+# Shared shingle/intersection CTE chain used by the three near-dup
+# oracles (mirrors dedup.word_shingles' n=3 semantics incl. the
+# short-text whole-string branch) - ONE copy so a fix cannot
+# desynchronize them.
+_SHINGLE_CTES = """ws AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 sh AS (
@@ -491,7 +502,10 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
+)"""
+
+
+_Q_NGRAM_JACCARD_SQL = "WITH " + _SHINGLE_CTES + """,
 pairs AS (
   SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b
   FROM inter i
@@ -593,24 +607,7 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_MINHASH_SQL = """
-WITH ws AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, s
-  FROM ws, UNNEST(
-    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         ELSE list_transform(generate_series(1, len(w) - 2),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-    END) AS t(s)
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+_Q_MINHASH_SQL = "WITH " + _SHINGLE_CTES + """,
 pairs AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
@@ -652,24 +649,7 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_NEAR_DUP_CLUSTERS_SQL = """
-WITH RECURSIVE ws AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, s
-  FROM ws, UNNEST(
-    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         ELSE list_transform(generate_series(1, len(w) - 2),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-    END) AS t(s)
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+_Q_NEAR_DUP_CLUSTERS_SQL = "WITH RECURSIVE " + _SHINGLE_CTES + """,
 pairs AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i

@@ -74,16 +74,23 @@ def main() -> None:
     from parquet_playground_rs_spark.sources.generator import write_sequences
     from parquet_playground_rs_spark.sources.tokenizer import tokenize_documents
 
-    n_rows = _SF_ROWS.get(sf_name(), 1_000_000)
+    n_rows = _SF_ROWS.get(sf_name())
+    sf_defaulted = n_rows is None
+    if sf_defaulted:  # unknown sf: say so in the output, don't mislabel
+        n_rows = 1_000_000
     # ui=True: the REST status API is the shuffle-byte accounting source
     # for the minhash extras (negligible overhead in local mode)
     spark = get_spark(app=f"bench-{sf_name()}", cores=CPUS,
                       shuffle_partitions=CPUS, driver_mem="12g", ui=True)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    if sf_defaulted:
+        extra["synthetic_rows_defaulted_for_unknown_sf"] = n_rows
 
     # ---- setup (not timed): deterministic synthetic input, cached on disk
-    seq_path = os.path.join(CACHE, f"sequences_{sf_name()}_{n_rows}_snappy")
+    from parquet_playground_rs_spark.sources.generator import GEN_VERSION
+    seq_path = os.path.join(
+        CACHE, f"sequences_{sf_name()}_{n_rows}_g{GEN_VERSION}_snappy")
     if not os.path.exists(os.path.join(seq_path, "_SUCCESS")):
         write_sequences(spark, n_rows, seq_path, seed=42,
                         partitions=max(CPUS * 4, 64))
@@ -150,12 +157,14 @@ def main() -> None:
     # bounded sample — the ratio is the point, not the absolute time
     sample = spark.read.parquet(out_dir).limit(30000).cache()
     sample.count()
-    t0 = time.time()
-    dec.decode_blocks(sample).agg(F.sum(F.size("tokens"))).first()
-    t_col = time.time() - t0
-    t0 = time.time()
-    dec.decode_blocks_rowwise(sample).agg(F.sum(F.size("tokens"))).first()
-    t_row = time.time() - t0
+    t_col = t_row = 1e18  # interleaved best-of-3, like the kernel contrast
+    for _ in range(3):
+        t0 = time.time()
+        dec.decode_blocks(sample).agg(F.sum(F.size("tokens"))).first()
+        t_col = min(t_col, time.time() - t0)
+        t0 = time.time()
+        dec.decode_blocks_rowwise(sample).agg(F.sum(F.size("tokens"))).first()
+        t_row = min(t_row, time.time() - t0)
     sample.unpersist()
     extra["decode_rowwise_over_columnar"] = round(t_row / max(t_col, 1e-9), 2)
 
@@ -204,7 +213,8 @@ def main() -> None:
     extra["fsst_over_bitpack_decode"] = round(t_f / max(t_b, 1e-9), 2)
 
     # ---- compression vs reference-config parquet (zstd + dict, plain col)
-    ref_dir = os.path.join(CACHE, f"reference_parquet_{sf_name()}_{n_rows}")
+    ref_dir = os.path.join(CACHE,
+                           f"reference_parquet_{sf_name()}_{n_rows}_g{GEN_VERSION}")
     if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):
         (seq.write.mode("overwrite")
          .option("parquet.enable.dictionary", "true")
@@ -215,10 +225,12 @@ def main() -> None:
     extra["engine_block_col_bytes"] = eng_bytes
     extra["compression_vs_reference"] = round(eng_bytes / ref_bytes, 4)
 
-    # ---- q_encode_docs: real sf documents end-to-end
+    # ---- q_encode_docs: real sf documents end-to-end (tokenize + encode;
+    # the tokenized frame is persisted DURING this timing so q_token_stats
+    # below measures the stats query, not a full re-tokenization)
     t0 = time.time()
     docs_seq = tokenize_documents(
-        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")).persist()
     enc.encode_tokens(docs_seq, chunk_size=enc.DEFAULT_CHUNK) \
         .agg(F.sum("meta.output_bytes")).first()
     timings["q_encode_docs"] = time.time() - t0
@@ -228,6 +240,7 @@ def main() -> None:
     docs_seq.groupBy("source").agg(
         F.count("*"), F.sum("n_tok"), F.max("n_tok")).collect()
     timings["q_token_stats"] = time.time() - t0
+    docs_seq.unpersist()
 
     # ---- q_minhash_dedup (extras): LLM-pipeline op end-to-end with
     # shuffle-byte accounting. The sf documents are replicated 8x with a
@@ -251,20 +264,25 @@ def main() -> None:
         (F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
         F.concat(F.lit("rep"), F.col("rep").cast("string"),
                  F.lit(" "), F.col("text")).alias("text")))
-    try:
-        rd0, wr0 = shuffle_totals()
-        t0 = time.time()
-        pairs = dd.minhash_dedup(near_docs, n=3, k=64, bands=16,
-                                 threshold=0.8)
-        n_pairs = pairs.count()
-        extra["q_minhash_dedup_sec"] = round(time.time() - t0, 3)
-        rd1, wr1 = shuffle_totals()
-        extra["minhash_n_docs"] = near_docs.count()
-        extra["minhash_confirmed_pairs"] = int(n_pairs)
+    def shuffle_totals_safe():
+        # ONLY the REST metrics are optional (they need the UI); an engine
+        # failure in the dedup op itself must fail the bench loudly
+        try:
+            return shuffle_totals()
+        except Exception:
+            return None, None
+
+    rd0, wr0 = shuffle_totals_safe()
+    t0 = time.time()
+    pairs = dd.minhash_dedup(near_docs, n=3, k=64, bands=16, threshold=0.8)
+    n_pairs = pairs.count()
+    extra["q_minhash_dedup_sec"] = round(time.time() - t0, 3)
+    rd1, wr1 = shuffle_totals_safe()
+    extra["minhash_n_docs"] = near_docs.count()
+    extra["minhash_confirmed_pairs"] = int(n_pairs)
+    if rd0 is not None and rd1 is not None:
         extra["minhash_shuffle_read_bytes"] = int(rd1 - rd0)
         extra["minhash_shuffle_write_bytes"] = int(wr1 - wr0)
-    except Exception as e:  # REST metrics need the UI; never fail the bench
-        extra["q_minhash_dedup_err"] = str(e)[:200]
 
     spark.stop()
     print(json.dumps({

@@ -32,6 +32,12 @@ def _h(seed: int, *cols: Column) -> Column:
     return F.shiftrightunsigned(F.xxhash64(*cols, F.lit(seed)), 1)
 
 
+# bump when the generated DATA changes (distribution, schema, hashing):
+# disk caches keyed on this (bench.py, scripts/bench_scaling.py) must not
+# silently reuse stale rows after a generator edit
+GEN_VERSION = 1
+
+
 def sequences_df(spark: SparkSession, n_rows: int, seed: int = 42,
                  base_len: int = 64, len_span: int = 448,
                  partitions: int | None = None) -> DataFrame:

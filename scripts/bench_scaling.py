@@ -35,7 +35,12 @@ N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "1000000"))
 # knee and is the closer analog of real nodes (each owning its memory)
 N_EXEC = int(os.environ.get("SPARK_GRAFT_SCALE_N_EXEC", "2"))
 PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
-SEQ = os.path.join(CACHE, f"sequences_sf0.1_{N_ROWS}_snappy")
+try:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from parquet_playground_rs_spark.sources.generator import GEN_VERSION
+except Exception:
+    GEN_VERSION = 0
+SEQ = os.path.join(CACHE, f"sequences_sf0.1_{N_ROWS}_g{GEN_VERSION}_snappy")
 
 SESSION = r"""
 import sys, time

@@ -29,8 +29,13 @@ def norm(v):
 
 def rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort key tolerates NULLs and mixed types (None is unorderable as a
+    # plain tuple element: a NULL aggregate would crash the gate mid-run
+    # instead of reporting MISMATCH)
+    vals = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(
-        tuple(norm(r[i]) for i in order) for r in rows
+        vals, key=lambda t: tuple((v is None, str(type(v)), str(v))
+                                  for v in t)
     ), [cols[i] for i in order]
 
 
@@ -48,6 +53,11 @@ def main():
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if ONLY:
+        unknown = ONLY - set(qs)
+        if unknown:  # a typo'd name must not produce a false-green gate
+            sys.exit(f"unknown query name(s): {sorted(unknown)}; "
+                     f"valid: {sorted(qs)}")
     failed = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
