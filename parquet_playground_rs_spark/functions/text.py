@@ -44,7 +44,9 @@ def n_subword_tokens(text: Column | str) -> Column:
 
 
 def stopword_count(text: Column | str, stopwords: list[str] | None = None) -> Column:
-    sw = stopwords or STOPWORDS_EN
+    # None -> defaults; an EXPLICIT empty list means "no stopwords" (a
+    # truthiness `or` would silently substitute the English defaults)
+    sw = STOPWORDS_EN if stopwords is None else stopwords
     return F.size(F.filter(words(text), lambda x: x.isin(sw))).cast("long")
 
 

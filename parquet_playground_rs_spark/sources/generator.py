@@ -12,7 +12,7 @@ Row classes cover every codec's best/worst case plus the skew shapes
 (FIXTURES.md F1): empty, singleton, constant, long runs, low-cardinality,
 narrow range, monotone ramp, periodic motif, uniform random, extremes;
 ~2% of rows get a 20x long-tail n_tok (skew-split path) and `source` is
-80/20-skewed toward "web" (salted-repartition path).
+skewed 60/10/10/10/10 toward "web" (salted-repartition path).
 """
 
 from __future__ import annotations

@@ -1,9 +1,10 @@
 """Incremental (streaming) encode: new sequence files -> encoded blocks.
 
 Structured Streaming file source + ``foreachBatch``: each micro-batch runs
-the same batch encode operator and appends to the encoded table, with the
-checkpoint directory providing exactly-once file-level progress (Spark's
-own offset log) on top of the batch pipeline's bucket manifests. This is
+the same batch encode operator and lands in an epoch=<id> partition with
+dynamic overwrite, so a replayed micro-batch replaces its own output —
+together with the checkpoint offset log that makes the observable effect
+exactly-once (a blind append would be at-least-once). This is
 the "resumable ingestion" face of the engine — the reference has no
 streaming at all (single-shot binaries, SURVEY.md §2.7).
 """
@@ -40,8 +41,17 @@ def stream_encode(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        encoded = enc.encode_tokens(batch_df, chunk_size=chunk_size)
-        enc.write_encoded(encoded, os.path.join(out_dir, "data"), mode="append")
+        from pyspark.sql import functions as F
+
+        # idempotent per epoch: a replayed micro-batch (failure between
+        # the sink write and the checkpoint commit) dynamically OVERWRITES
+        # its own epoch partition instead of appending duplicates — a
+        # blind append would only be at-least-once
+        encoded = enc.encode_tokens(batch_df, chunk_size=chunk_size) \
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        enc.write_encoded(encoded, os.path.join(out_dir, "data"),
+                          mode="overwrite", partition_by="epoch",
+                          partitionOverwriteMode="dynamic")
 
     return (
         src.writeStream.foreachBatch(sink)

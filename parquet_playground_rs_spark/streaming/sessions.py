@@ -46,6 +46,8 @@ def _sessionize_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
                              value_sum]], columns=cols)
         return
 
+    import numpy as np
+
     pdf = pd.concat(list(pdf_iter), ignore_index=True)
     ts = pdf["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
     order = ts.argsort(kind="stable")
@@ -55,6 +57,15 @@ def _sessionize_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     closed = []
     if state.exists:
         start0, last0, n0, sum0 = state.get
+        # events older than the open tail's START belong to sessions that
+        # already closed and emitted — merging them is impossible, so they
+        # are discarded (the standard late-beyond-state policy; watermark
+        # keeps this window bounded)
+        keep = ts >= start0
+        ts, vals = ts[keep], vals[keep]
+        if ts.size == 0:
+            _rearm(state, last0, gap_sec)
+            return
         if (ts[0] - last0) > gap_sec:
             # The stored tail's session ended before this batch arrived
             # (the timeout just hasn't fired yet — watermark may lag the
@@ -67,12 +78,16 @@ def _sessionize_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     else:
         start0, last0, n0, sum0 = ts[0], None, 0, 0.0
 
-    import numpy as np
-
     # session boundaries: position i starts a new session when the gap
-    # from the previous event (or the stored open tail) exceeds gap_sec
+    # from the LATEST time seen so far exceeds gap_sec. The running max
+    # matters for late (out-of-order across micro-batches) events: with a
+    # stored tail at last0=1100 and a batch [950, 1300], the 1300 event is
+    # 200s after 1100 and must NOT open a new session just because the
+    # late 950 sat between them.
     prev = np.concatenate(([last0 if last0 is not None else ts[0]], ts[:-1]))
-    new_sess = (ts - prev) > gap_sec
+    run_max = np.maximum.accumulate(
+        np.maximum(prev, last0 if last0 is not None else prev[0]))
+    new_sess = (ts - run_max) > gap_sec
     sess_id = np.cumsum(new_sess)  # 0 = continues the open tail
     for sid in range(int(sess_id.max()) + 1):
         m = sess_id == sid
@@ -81,21 +96,38 @@ def _sessionize_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
             continue  # defensive: can only be sid 0, already closed above
         seg_sum = float(vals[m].sum())
         seg_n = int(m.sum())
+        seg_end = float(seg_ts[-1])
         if sid == 0:
             seg_start = start0
             seg_n += int(n0)
             seg_sum += float(sum0)
+            if last0 is not None:
+                # a purely-late batch must never move the session end (or
+                # the timeout) backwards
+                seg_end = max(seg_end, float(last0))
         else:
             seg_start = float(seg_ts[0])
         if sid < sess_id.max():
-            closed.append([user_id, seg_start, float(seg_ts[-1]),
-                           seg_n, seg_sum])
+            closed.append([user_id, seg_start, seg_end, seg_n, seg_sum])
         else:
-            state.update((float(seg_start), float(seg_ts[-1]),
-                          int(seg_n), float(seg_sum)))
-            state.setTimeoutTimestamp(int((seg_ts[-1] + gap_sec) * 1000))
+            state.update((float(seg_start), seg_end, int(seg_n),
+                          float(seg_sum)))
+            _rearm(state, seg_end, gap_sec)
     if closed:
         yield pd.DataFrame(closed, columns=cols)
+
+
+def _rearm(state: Any, last_ts: float, gap_sec: float) -> None:
+    """Set the event-time timeout at last_ts + gap, clamped ABOVE the
+    current watermark: Spark throws (killing the query) on a timeout at or
+    below the watermark, which a late straggler batch can otherwise
+    produce."""
+    desired = int((last_ts + gap_sec) * 1000)
+    try:
+        wm = state.getCurrentWatermarkMs()
+    except Exception:
+        wm = 0
+    state.setTimeoutTimestamp(max(desired, wm + 1))
 
 
 def sessionize_stream(spark, input_dir: str, out_dir: str,

@@ -312,3 +312,54 @@ def test_asof_join_ddl_hostile_column_names(spark):
     got = asof_join(left, right, on="ts", by="user_id",
                     value_cols=["r v"]).collect()
     assert got[0]["r v_asof"] == 5.0
+
+
+def test_sessionize_group_late_events_never_regress_state():
+    """Review r3: late (out-of-order across micro-batches) events must not
+    move last_ts/session_end/timeout backwards, must not mis-split a
+    session that straddles a late event, and events older than the open
+    tail's start are discarded."""
+    import pandas as pd
+
+    from parquet_playground_rs_spark.streaming.sessions import _sessionize_group
+
+    def run(state_v, batch_ts):
+        st = _FakeGroupState(state_v)
+        pdf = pd.DataFrame({"ts": pd.to_datetime(batch_ts, unit="s"),
+                            "value": [1.0] * len(batch_ts)})
+        out = list(_sessionize_group((7,), iter([pdf]), st, 300.0))
+        closed = [tuple(r) for df in out for r in df.itertuples(index=False)]
+        return st, closed
+
+    # late event inside the open session + a continuing event: one session,
+    # end never regresses, no false split (1300 is 200s after last0=1100)
+    st, closed = run((1000.0, 1100.0, 2, 3.0), [1050.0, 1300.0])
+    assert closed == []
+    assert st.get == (1000.0, 1300.0, 4, 5.0)
+    # purely-late batch: state absorbs the event, end stays at 1100
+    st, closed = run((1000.0, 1100.0, 2, 3.0), [1050.0])
+    assert closed == []
+    assert st.get == (1000.0, 1100.0, 3, 4.0)
+    assert st.timeout_ms == int((1100.0 + 300.0) * 1000)
+    # ancient event (before the tail started): dropped, state untouched
+    st, closed = run((1000.0, 1100.0, 2, 3.0), [900.0])
+    assert closed == []
+    assert st.get == (1000.0, 1100.0, 2, 3.0)
+
+
+def test_sessionize_timeout_clamped_above_watermark():
+    """Review r3: a straggler batch whose desired timeout sits at/below
+    the current watermark must clamp instead of letting Spark throw."""
+    import pandas as pd
+
+    from parquet_playground_rs_spark.streaming.sessions import _sessionize_group
+
+    class _WmState(_FakeGroupState):
+        def getCurrentWatermarkMs(self):
+            return 2_000_000_000
+
+    st = _WmState((1000.0, 1100.0, 2, 3.0))
+    pdf = pd.DataFrame({"ts": pd.to_datetime([1050.0], unit="s"),
+                        "value": [1.0]})
+    list(_sessionize_group((7,), iter([pdf]), st, 300.0))
+    assert st.timeout_ms == 2_000_000_001  # watermark + 1, not 1_400_000
