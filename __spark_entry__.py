@@ -891,6 +891,40 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: every non-reference event picks up the EARLIEST
+    reference value at-or-after its timestamp per user (the other
+    direction of the same one-shuffle union operator). Oracle: DuckDB
+    ASOF LEFT JOIN with the inequality flipped."""
+    from parquet_playground_rs_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = (
+        ev.filter(F.pmod("event_id", F.lit(5)) == 0)
+        .groupBy("user_id", "ts").agg(F.max("value").alias("rv"))
+    )
+    left = ev.filter(F.pmod("event_id", F.lit(5)) != 0)
+    joined = asof_join(left, right, on="ts", by="user_id",
+                       value_cols=["rv"], direction="forward")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_left"),
+        F.count("rv_asof").cast("long").alias("n_matched"),
+        F.sum(F.round(F.col("rv_asof") * 100).cast("long")).cast("long")
+        .alias("rv_checksum"),
+    )
+
+
+_Q_EVENTS_ASOF_FWD_SQL = """
+WITH r AS (SELECT user_id, ts, max(value) AS rv
+           FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts),
+l AS (SELECT * FROM events WHERE event_id % 5 <> 0)
+SELECT CAST(count(*) AS BIGINT) AS n_left,
+       CAST(count(rv) AS BIGINT) AS n_matched,
+       CAST(sum(CAST(round(rv * 100) AS BIGINT)) AS BIGINT) AS rv_checksum
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed point-in-interval range join (operators/asof.py:
     range_join_buckets): reference events open a 600 s window; count the
@@ -1339,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_equiv": _q_streaming_sessions_equiv,
         "streaming_incremental_encode": _q_streaming_incremental_encode,
         "events_asof": _q_events_asof,
+        "events_asof_forward": _q_events_asof_forward,
         "events_range_join": _q_events_range_join,
         "json_props": _q_json_props,
         "histogram_touch_sum": _q_histogram_touch_sum,
@@ -1373,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_incremental_encode": _Q_STREAMING_INCREMENTAL_SQL,
         "chunk_verify": _Q_CHUNK_VERIFY_SQL,
         "events_asof": _Q_EVENTS_ASOF_SQL,
+        "events_asof_forward": _Q_EVENTS_ASOF_FWD_SQL,
         "events_range_join": _Q_EVENTS_RANGE_SQL,
         "json_props": _Q_JSON_PROPS_SQL,
         "minhash_near_dups": _Q_MINHASH_SQL,

@@ -60,16 +60,26 @@ def range_join_buckets(left: DataFrame, right: DataFrame,
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str = "user_id", value_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              direction: str = "backward") -> DataFrame:
     """Left as-of join. Returns every `left` row plus, for each column in
     `value_cols` (default: all right columns except `on`/`by`), the value
-    from the latest `right` row with right.on <= left.on and equal `by`;
-    null when no such row exists.
+    from the matched `right` row with equal `by`; null when no such row
+    exists.
+
+    direction="backward" (default): the LATEST right row with
+    right.on <= left.on (DuckDB `ASOF ... ON l.on >= r.on`).
+    direction="forward": the EARLIEST right row with right.on >= left.on
+    (DuckDB `ASOF ... ON l.on <= r.on`). Ties (equal timestamps) match in
+    both directions. Same union trick either way — ONE shuffle, no row
+    multiplication; forward just flips the per-key sort.
 
     `right` should be unique per (by, on) — duplicate right timestamps
-    make "the" latest row ambiguous in any engine; pre-aggregate if
+    make "the" matched row ambiguous in any engine; pre-aggregate if
     needed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
     # Carry ALL value columns in ONE struct: a NULL payload column on the
@@ -87,10 +97,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     tagged_l = (left.withColumn("_is_r", F.lit(0))
                 .withColumn("_rvals", F.lit(None).cast(rtype)))
     combined = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
-    # right rows sort BEFORE left rows at equal ts so ties match (>=)
+    # right rows sort BEFORE left rows at equal ts so ties match in both
+    # directions; forward scans time DESCENDING so "last seen right" means
+    # the earliest right at-or-after
+    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_is_r").desc())
+        .orderBy(ts_order, F.col("_is_r").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = combined.withColumn(

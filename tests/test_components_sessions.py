@@ -363,3 +363,30 @@ def test_sessionize_timeout_clamped_above_watermark():
                         "value": [1.0]})
     list(_sessionize_group((7,), iter([pdf]), st, 300.0))
     assert st.timeout_ms == 2_000_000_001  # watermark + 1, not 1_400_000
+
+
+def test_asof_join_forward_direction(spark):
+    """r3: direction='forward' matches the EARLIEST right row at-or-after
+    (ties match), the mirror of the backward default."""
+    from parquet_playground_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 35), (2, 5), (3, 7)],
+        "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (1, 30, 3.0), (2, 4, 9.0)],
+        "user_id long, ts long, rv double")
+    got = {(r["user_id"], r["ts"]): r["rv_asof"]
+           for r in asof_join(left, right, on="ts", by="user_id",
+                              value_cols=["rv"],
+                              direction="forward").collect()}
+    assert got == {
+        (1, 10): 1.0,   # tie matches
+        (1, 20): 3.0,   # earliest at-or-after is ts=30
+        (1, 35): None,  # nothing after
+        (2, 5): None,   # right row is before, not after
+        (3, 7): None,   # key with no right rows
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
