@@ -291,7 +291,13 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 def _seg_gather(d: np.ndarray, seg_starts: np.ndarray,
                 seg_lens: np.ndarray, it=np.int64) -> np.ndarray:
-    """Concatenate d[s:s+l] for each (s, l) segment — one fancy index."""
+    """Concatenate d[s:s+l] for each (s, l) segment — one fancy index.
+
+    Sibling of batch_encode._concat_rows/_copy_into (same prefix-sum
+    index algebra; kept separate because the encode side derives its
+    index dtype from its own arena bounds while decode callers pass the
+    already-computed `it`). A fix to the 2^31 overflow policy must land
+    on BOTH sides."""
     total = int(seg_lens.sum())
     if total == 0:
         return np.empty(0, dtype=d.dtype)

@@ -547,7 +547,9 @@ def encode_batch(values: np.ndarray, offsets: np.ndarray,
 
 def _concat_rows(v64: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Gather a group's rows into one contiguous array (vectorized take).
-    int32 index math when the source allows (always within an Arrow batch)."""
+    int32 index math when the source allows (always within an Arrow batch).
+    Sibling of batch_decode._seg_gather/_seg_copy — a fix to the 2^31
+    overflow policy must land on BOTH sides."""
     total = int(lens.sum())
     it = np.int32 if v64.size < 2**31 else np.int64
     row_pref = np.concatenate(([0], np.cumsum(lens)))[:-1]
