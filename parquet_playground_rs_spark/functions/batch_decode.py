@@ -399,9 +399,17 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
     # ---- expansion, innermost round outwards --------------------------
     # dtype discipline (memory bandwidth is the ceiling): codes arenas are
     # uint8, item arenas uint16, fancy indices int32 whenever every
-    # addressed arena fits (round-0 items bound all later sizes)
-    it = np.int32 if max(d.size, 2 * int(n_items[0].sum())) < 2**31 \
-        else np.int64
+    # addressed arena fits. The addressed arrays are (per round r):
+    #   - the unpacked bitmap `bits`, 8*sum(nb) <= sum(ni) + 8n bytes
+    #     (packbits pads each row to a byte boundary);
+    #   - the codes arena, <= 2*sum(ni) + n (pair expansion + tail bytes);
+    #   - the raw blob data `d` itself.
+    # Bound every round explicitly (ADVICE r3: the old 2*sum(n_items[0])
+    # guard covered the bits array only via a non-obvious >=20-bytes-per-
+    # blob invariant; many tiny rows make 8n exceed 2*sum(ni)).
+    max_items = int(n_items.sum(axis=1).max())
+    it = np.int32 if max(d.size, 2 * max_items + n,
+                         max_items + 8 * n) < 2**31 else np.int64
     codes_arena = np.empty(0, dtype=np.uint8)
     codes_lens = np.zeros(n, dtype=np.int64)
     for r in range(max_r - 1, -1, -1):

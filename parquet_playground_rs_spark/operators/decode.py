@@ -175,15 +175,20 @@ def decode_tokens(encoded: DataFrame, materialize: bool | None = None) -> DataFr
     # pressure.
     out._persisted_input = persisted
     if persisted is not None:
-        _LIVE_DECODE_CACHES.append(persisted)
+        with _CACHE_LOCK:
+            _LIVE_DECODE_CACHES.append(persisted)
     return out
 
 
 # persisted inputs decode_tokens created and nobody released yet; the
 # per-DataFrame attribute does not survive further transformations
 # (df.filter(...) is a NEW DataFrame), so long-lived sessions that
-# compose results can sweep everything with release_all_decode_caches()
+# compose results can sweep everything with release_all_decode_caches().
+# Guarded by a lock: multiple driver threads may run decode pipelines
+# concurrently (Spark's scheduler is thread-safe; this bookkeeping must
+# be too).
 _LIVE_DECODE_CACHES: list[DataFrame] = []
+_CACHE_LOCK = __import__("threading").Lock()
 
 
 def release_decode_cache(decoded: DataFrame) -> bool:
@@ -198,8 +203,9 @@ def release_decode_cache(decoded: DataFrame) -> bool:
         return False
     handle.unpersist()
     decoded._persisted_input = None
-    if handle in _LIVE_DECODE_CACHES:
-        _LIVE_DECODE_CACHES.remove(handle)
+    with _CACHE_LOCK:
+        if handle in _LIVE_DECODE_CACHES:
+            _LIVE_DECODE_CACHES.remove(handle)
     return True
 
 
@@ -207,10 +213,30 @@ def release_all_decode_caches() -> int:
     """Unpersist every outstanding decode_tokens cache in this process.
     Returns the number released."""
     n = 0
-    while _LIVE_DECODE_CACHES:
-        _LIVE_DECODE_CACHES.pop().unpersist()
+    while True:
+        with _CACHE_LOCK:
+            if not _LIVE_DECODE_CACHES:
+                return n
+            handle = _LIVE_DECODE_CACHES.pop()
+        handle.unpersist()
         n += 1
-    return n
+
+
+class decoded_tokens:
+    """Context manager for composed decode pipelines: ``with
+    decoded_tokens(encoded) as df: ...`` decodes like decode_tokens and
+    unpersists whatever cache that call created on exit, so loops and
+    long-lived drivers cannot accrete cached blocks (the round-3 cache
+    lifecycle finding)."""
+
+    def __init__(self, encoded: DataFrame, materialize: bool | None = None):
+        self._df = decode_tokens(encoded, materialize=materialize)
+
+    def __enter__(self) -> DataFrame:
+        return self._df
+
+    def __exit__(self, *exc) -> None:
+        release_decode_cache(self._df)
 
 
 def verify_encoded(source_df: DataFrame, encoded: DataFrame,

@@ -45,7 +45,10 @@ def _affine_params(k: int, seed: int) -> list[tuple[int, int]]:
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                hashes: DataFrame | None = None,
+                hash_col: str = "text_md5",
+                validate: bool = False) -> DataFrame:
     """Keep one representative (min id) per identical text. Returns the
     deduplicated rows of `docs`.
 
@@ -58,20 +61,37 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     broadcast when the loser set is small — the document table itself
     never shuffles.
 
+    `hashes`: optional precomputed (`id_col`, `hash_col`) projection —
+    e.g. an md5 column persisted at ingest, the cheap-storage overload a
+    100-TB caller wants: group sizes and losers derive from `hashes`, so
+    `docs` is scanned exactly ONCE (the anti-join) instead of three
+    times. NULL hash values group together (coalesced to the same
+    sentinel the inline path uses), so `F.md5(text)` stored as-is —
+    which is NULL for NULL text — keeps NULL-text semantics identical.
+
     Contract: `id_col` uniquely identifies rows AND both columns are
     deterministic across re-execution (stable storage or seeded
     expressions — the engine-wide resumability rule; NOT
-    monotonically_increasing_id/uuid), because the plan scans `docs`
-    three times (sizes, losers, anti-join) — the deliberate trade of two
-    extra column-pruned scans for never shuffling the document table.
-    NULL texts dedup together,
-    as in a hash-partitioned formulation: the group key is a sentinel
-    no md5 hex string can collide with, because an equi-join would
-    silently skip NULL keys and leave NULL-text duplicates in place.
+    monotonically_increasing_id/uuid), because without `hashes` the plan
+    scans `docs` three times (sizes, losers, anti-join) — the deliberate
+    trade of two extra column-pruned scans for never shuffling the
+    document table. `validate=True` adds a debug-mode runtime assertion
+    that the loser count equals sum(group_size - 1) over duplicate
+    groups — the invariant a re-execution-UNstable input breaks (ids
+    shifting between scans silently drop winners or keep duplicates).
+    NULL texts dedup together, as in a hash-partitioned formulation: the
+    group key is a sentinel no md5 hex string can collide with, because
+    an equi-join would silently skip NULL keys and leave NULL-text
+    duplicates in place.
     """
-    key = F.when(F.col(text_col).isNull(), F.lit("\x00null")) \
-        .otherwise(F.md5(F.col(text_col)))
-    ids = docs.select(key.alias("_h"), F.col(id_col).alias("_id"))
+    if hashes is not None:
+        ids = hashes.select(
+            F.coalesce(F.col(hash_col), F.lit("\x00null")).alias("_h"),
+            F.col(id_col).alias("_id"))
+    else:
+        key = F.when(F.col(text_col).isNull(), F.lit("\x00null")) \
+            .otherwise(F.md5(F.col(text_col)))
+        ids = docs.select(key.alias("_h"), F.col(id_col).alias("_id"))
     dup_groups = (
         ids.groupBy("_h")
         .agg(F.min("_id").alias("_winner"), F.count("*").alias("_n"))
@@ -82,6 +102,15 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_id") != F.col("_winner"))
         .select(F.col("_id").alias(id_col))
     )
+    if validate:
+        expected = dup_groups.agg(
+            F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))).first()[0]
+        actual = losers.count()
+        if actual != expected:
+            raise AssertionError(
+                f"exact_dedup instability: {actual} losers vs "
+                f"{expected} expected (sum of group sizes - 1) — the "
+                f"id/text columns are not re-execution-stable")
     return docs.join(losers, id_col, "left_anti")
 
 

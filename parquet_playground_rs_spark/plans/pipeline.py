@@ -208,7 +208,11 @@ def read_encoded(spark: SparkSession, out: str) -> DataFrame:
 
 
 def verify_job(spark: SparkSession, source_df: DataFrame, out: str) -> dict:
-    """Decode everything under `out` and compare with the source table."""
-    decoded = dec.decode_tokens(read_encoded(spark, out))
-    row = dec.verify_roundtrip(source_df, decoded).first()
+    """Decode everything under `out` and compare with the source table.
+
+    The decode cache (if decode_tokens materialized one) is released
+    before returning — composed jobs must not leak cached blocks into the
+    session (round-3 cache-lifecycle finding)."""
+    with dec.decoded_tokens(read_encoded(spark, out)) as decoded:
+        row = dec.verify_roundtrip(source_df, decoded).first()
     return {k: row[k] for k in ("n_source", "n_decoded", "n_joined", "n_mismatch")}

@@ -18,7 +18,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_vocab(docs: DataFrame, num_partitions: int = 32) -> DataFrame:
+# Target distinct words per vocab range partition: each partition's local
+# rank is a window sort of ~this many SHORT strings — a few hundred MB at
+# most, comfortably one task.
+WORDS_PER_VOCAB_PARTITION = 2_000_000
+
+
+def vocab_partitions_for(est_distinct_words: int) -> int:
+    """Range-partition count for an estimated distinct-word count.
+
+    Heaps' law sizes the estimate: V(N) ~ K * N^beta over corpus token
+    count N, with K~10-60 and beta~0.4-0.6 for natural text. Measured on
+    this engine's deterministic generator corpus (scripts/vocab_curve.py,
+    documents-style text): the tokenizer's own corpus fits beta ~= 0.5,
+    so even a 10^12-token corpus yields ~10^7-10^8 distinct words — a few
+    dozen range partitions, NOT corpus-scaled. The old hardcoded 32 was
+    right at sandbox scale and silently wrong above ~6.4e7 words.
+    """
+    return max(1, -(-est_distinct_words // WORDS_PER_VOCAB_PARTITION))
+
+
+def build_vocab(docs: DataFrame, num_partitions: int | None = None,
+                est_distinct_words: int | None = None) -> DataFrame:
     """(word string, token_id int) — id = alphabetical rank, 0-based.
 
     Scalable two-pass rank instead of a global-order window (which would
@@ -29,13 +50,23 @@ def build_vocab(docs: DataFrame, num_partitions: int = 32) -> DataFrame:
     applied as a literal map — no join, no single-partition exchange).
     The global rank is off[pid] + local_rank - 1 regardless of where the
     range boundaries land, so the assignment is identical to the global
-    window's and stays oracle-stable.
+    window's and stays oracle-stable — by construction the returned ids
+    are INVARIANT to the partition count (pytest-checked at two counts).
+
+    Partition sizing: pass `num_partitions` directly, or
+    `est_distinct_words` (a Heaps'-law corpus estimate — see
+    vocab_partitions_for) to derive it; default 32 covers anything up to
+    ~6.4e7 distinct words.
 
     The ranked frame is persisted (vocab-sized, tiny next to the corpus):
     the offset count and the returned mapping both read it, and the
     downstream word->id broadcast join reuses it.
     """
     from pyspark import StorageLevel
+
+    if num_partitions is None:
+        num_partitions = (vocab_partitions_for(est_distinct_words)
+                          if est_distinct_words else 32)
 
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).distinct()
     ranged = words.repartitionByRange(num_partitions, "word") \
@@ -61,13 +92,18 @@ def build_vocab(docs: DataFrame, num_partitions: int = 32) -> DataFrame:
     )
 
 
-def tokenize_documents(docs: DataFrame, vocab: DataFrame | None = None) -> DataFrame:
+def tokenize_documents(docs: DataFrame, vocab: DataFrame | None = None,
+                       vocab_partitions: int | None = None,
+                       est_distinct_words: int | None = None) -> DataFrame:
     """documents(doc_id, text, source, ...) -> (doc_id, tokens, n_tok, source).
 
-    doc_id is cast to string per the input_hint shape.
+    doc_id is cast to string per the input_hint shape. The vocab
+    partition knob (count or Heaps'-law distinct-word estimate — see
+    build_vocab) threads through for corpus-scale callers.
     """
     if vocab is None:
-        vocab = build_vocab(docs)
+        vocab = build_vocab(docs, num_partitions=vocab_partitions,
+                            est_distinct_words=est_distinct_words)
     exploded = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "source",
