@@ -265,7 +265,17 @@ def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if rows.size:
         small = rows[n_tok[rows] <= FSST_GROUP_MAX_TOKENS]
         if small.size:
-            put(small, _decode_fsst_group(d, starts[small]))
+            # decode per same-round-count cohort: a uniform cohort runs
+            # the expansion maskless — every row is active every round,
+            # the first processed round is all-entering (one contiguous
+            # gather) and the rest all-continuing (arena reused, ZERO
+            # copy) — eliminating the per-round _seg_copy merges and
+            # flatnonzero masks mixed-round groups pay (measured ~25%
+            # of group-decode time on the bench Zipfian corpus)
+            nr_small = d[starts[small] + 9]
+            for rv in np.unique(nr_small):
+                g = small[nr_small == rv]
+                put(g, _decode_fsst_group(d, starts[g]))
         for i in rows[n_tok[rows] > FSST_GROUP_MAX_TOKENS]:
             out[out_offsets[i]: out_offsets[i + 1]] = \
                 kernels.decode(d[boffs[i]: boffs[i + 1]].tobytes())
@@ -276,14 +286,17 @@ def decode_binary_array(blocks: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 # Crossover between the two FSST decode strategies, measured on Zipfian
 # corpora (zipf 1.3, narrow and wide vocab, the fsst_min_ratio=2.0
 # shapes): the arena group decode amortizes per-row numpy overhead and
-# wins ~5x below ~200 tokens (9-10M tok/s vs 1.8M per-row); above ~1-2k
+# wins ~5x below ~200 tokens (10-12M tok/s vs 1.8M per-row); above ~1.5k
 # tokens each row's stream is L1/L2 resident and the per-row kernel wins
-# (13-19M tok/s) because the group path pays explicit int32 index arrays
-# per item while per-row positions stay implicit. Threshold swept over
-# {256..1024} x three size mixes: 768 maximizes every mix
-# (short-heavy 7.6M/s, long-heavy 9.6M/s, tiny-row 9.0M/s). Memory
-# bandwidth is the ceiling either way; route each row to the cheaper side.
-FSST_GROUP_MAX_TOKENS = 768
+# (15-19M tok/s) because the group path pays explicit int32 index arrays
+# per item while per-row positions stay implicit. Re-swept after the
+# round-4 group-path rework (uniform cohorts + u16 LUT + split tail
+# carry, ~35% faster): interleaved best-of-9 over {768,1024,1536,2048,
+# inf} x {mixed 8-600, long 400-1800, vlong 1500-4000 tokens} puts the
+# knee at 1024 (long-heavy 10.8 -> 12.4M tok/s vs the old 768; mixed
+# flat at ~11.6M; vlong rows stay on the per-row side either way).
+# Memory bandwidth is the ceiling; route each row to the cheaper side.
+FSST_GROUP_MAX_TOKENS = 1024
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
@@ -410,18 +423,41 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
     max_items = int(n_items.sum(axis=1).max())
     it = np.int32 if max(d.size, 2 * max_items + n,
                          max_items + 8 * n) < 2**31 else np.int64
+    # Carried code stream between rounds — one of two shapes:
+    #  * arena: one contiguous u8 array, per-row segments of codes_lens
+    #    bytes (entering/mixed rounds);
+    #  * split: (carry_inter u8, carry_tail int64) — the pair expansion
+    #    bytes contiguous per row PLUS the per-row tail byte kept ASIDE.
+    #    A row's code stream is logically inter_segment + [tail]; the
+    #    tail is by construction the LAST in-table code of its row, so
+    #    the items phase looks it up directly instead of paying a
+    #    _seg_copy merge to splice 1 byte/row into a multi-MB arena
+    #    (measured ~23% of group-decode time on the bench Zipfian
+    #    corpus). Used whenever the next round has no entering rows —
+    #    always, now that decode_binary_array calls per uniform cohort.
     codes_arena = np.empty(0, dtype=np.uint8)
     codes_lens = np.zeros(n, dtype=np.int64)
+    carry_inter = carry_tail = None  # split carry (None -> arena carry)
     for r in range(max_r - 1, -1, -1):
         act_mask = n_rounds > r
-        # codes for this round: rows entering at their last round read the
-        # stored final codes; continuing rows reuse the previous expansion
+        a = np.flatnonzero(act_mask)
+        ni_a = n_items[r, a]
+        pin_a = n_in[r, a]
+        # ---- resolve this round's code stream ---------------------------
         entering = n_rounds == r + 1
-        new_lens = np.where(entering, n_in[r], codes_lens)
+        split = None
         if entering.all():
             new_arena = np.ascontiguousarray(
                 _seg_gather(d, codes_start, n_in[r], it))
+        elif carry_inter is not None:
+            # split carry: valid because no row entered this round, so the
+            # active set and row order equal last round's
+            split = (carry_inter, carry_tail)
+            new_arena = None
+        elif not entering.any():
+            new_arena = codes_arena
         else:
+            new_lens = np.where(entering, n_in[r], codes_lens)
             new_arena = np.empty(int(new_lens.sum()), dtype=np.uint8)
             dst_off = np.concatenate(([0], np.cumsum(new_lens)))[:-1]
             e = np.flatnonzero(entering)
@@ -437,8 +473,6 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
         # items: scatter table lookups into in-table slots, literals into
         # the rest — alignment is by construction (both orders are
         # (row, position))
-        a = np.flatnonzero(act_mask)
-        ni_a = n_items[r, a]
         total_items = int(ni_a.sum())
         nb_a = (ni_a + 7) // 8
         bits = np.unpackbits(_seg_gather(d, bm_start[r, a], nb_a, it),
@@ -450,12 +484,37 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
         in_t = bits[bit_idx].astype(bool)
         items = np.empty(total_items, dtype=np.uint16)
         idx_in = np.flatnonzero(in_t)
-        # table values for in-table items: two-byte compose at
-        # tbl_start[row] + 2*code
-        tpos = np.repeat(tbl_start[r, a].astype(it), ni_a)[idx_in] \
-            + 2 * new_arena.astype(it)
-        items[idx_in] = d[tpos].astype(np.uint16) \
-            | (d[tpos + 1].astype(np.uint16) << np.uint16(8))
+        # table values for in-table items, via a u16 LUT arena: gather
+        # every active row's symbol table ONCE into a contiguous uint16
+        # array (tables are <=255 entries — tiny next to the item count),
+        # then ONE u16 take per in-table item. Replaces the former
+        # two-byte compose (two random byte gathers per item) and repeats
+        # row offsets over the in-table count only, not all items.
+        tbl_u16 = _seg_gather_u16(d, tbl_start[r, a], n_sym[r, a], it)
+        tbl_off = np.concatenate(([0], np.cumsum(n_sym[r, a])))[:-1]
+        if split is None:
+            tpos = np.repeat(tbl_off.astype(it), pin_a) \
+                + new_arena.astype(it)
+            items[idx_in] = tbl_u16[tpos]
+        else:
+            s_inter, s_tail = split
+            t_mask = s_tail >= 0
+            # body codes (the contiguous pair-expansion bytes): per row
+            # pin - has_tail of them; the tail (when present) is the
+            # row's LAST in-table item, looked up without any splice
+            vals = tbl_u16[np.repeat(tbl_off.astype(it),
+                                     pin_a - t_mask)
+                           + s_inter.astype(it)]
+            if t_mask.any():
+                full = np.empty(int(pin_a.sum()), dtype=np.uint16)
+                sel = np.ones(full.size, dtype=bool)
+                last_in = np.cumsum(pin_a) - 1
+                sel[last_in[t_mask]] = False
+                full[sel] = vals
+                full[~sel] = tbl_u16[tbl_off[t_mask]
+                                     + s_tail[t_mask]]
+                vals = full
+            items[idx_in] = vals
         items[~in_t] = _seg_gather_u16(d, lit_start[r, a], n_lits[r, a], it)
 
         if r == 0:
@@ -463,11 +522,15 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
             # streams are always even so 2 * n_items == 4 * n_tok exactly
             return np.ascontiguousarray(items).view("<i4")
 
-        # expand pairs (hi<<8 | lo of round r-1 codes) + optional tail of
-        # record r-1 into the next codes arena. byteswap().view(u8) IS the
-        # (hi, lo) interleave — contiguous per row, no index scatter unless
-        # a tail byte must be inserted
+        # expand pairs (hi<<8 | lo of round r-1 codes): byteswap().view(u8)
+        # IS the (hi, lo) interleave — contiguous per row. The tail byte of
+        # record r-1 stays ASIDE (split carry) when no row enters at round
+        # r-1; otherwise it must be spliced into a merged arena.
         inter = items.byteswap().view(np.uint8)
+        if not (n_rounds == r).any():
+            carry_inter, carry_tail = inter, tail[r - 1, a]
+            continue
+        carry_inter = carry_tail = None
         has_tail = (tail[r - 1, a] >= 0)
         codes_lens = np.zeros(n, dtype=np.int64)
         codes_lens[a] = 2 * ni_a + has_tail
