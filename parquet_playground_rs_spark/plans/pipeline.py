@@ -114,12 +114,21 @@ def run_encode_job(
     buckets_per_commit: int | None = None,
     fail_after_buckets: int | None = None,
     statistics: str = "page",
+    concurrent_commits: int = 1,
 ) -> dict:
     """Encode `source_df` into `out`, resuming past completed buckets.
 
     `fail_after_buckets` injects a crash for the kill-and-resume test.
     `statistics` is the E5 granularity mode (none/chunk/page) forwarded to
-    the parquet sink. Returns summary stats for the run.
+    the parquet sink. `concurrent_commits` > 1 overlaps commit groups
+    from driver threads: the groups are independent idempotent writes of
+    DISJOINT (source, bucket) partitions (dynamic overwrite stages under
+    per-job dirs, manifests are per-bucket files), so overlapping them
+    hides the fixed per-commit costs (job scheduling, the manifest
+    aggregation, the write commit walk) that otherwise serialize —
+    commit granularity stops taxing wall-clock. Incompatible with
+    `fail_after_buckets` (the kill test needs deterministic ordering).
+    Returns summary stats for the run.
     """
     done = completed_buckets(spark, out)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -148,86 +157,111 @@ def run_encode_job(
 
         persisted_input = chunked.persist(StorageLevel.MEMORY_AND_DISK)
         chunked = persisted_input
+    groups = [pending[gi: gi + group] for gi in range(0, len(pending), group)]
     try:
-        _run_commit_groups(spark, chunked, pending, group, out, statistics,
-                           fail_after_buckets, summary)
+        if concurrent_commits > 1 and len(groups) > 1:
+            if fail_after_buckets is not None:
+                raise ValueError(
+                    "fail_after_buckets needs deterministic group order; "
+                    "use concurrent_commits=1")
+            import threading
+            from concurrent.futures import ThreadPoolExecutor
+
+            lock = threading.Lock()
+            with ThreadPoolExecutor(max_workers=concurrent_commits) as ex:
+                futs = [ex.submit(_process_commit_group, spark, chunked,
+                                  batch, out, statistics, summary, lock)
+                        for batch in groups]
+                for f in futs:
+                    f.result()  # propagate the first failure
+        else:
+            for batch in groups:
+                if fail_after_buckets is not None and \
+                        summary["processed_buckets"] >= fail_after_buckets:
+                    raise RuntimeError("injected failure for resume test")
+                _process_commit_group(spark, chunked, batch, out,
+                                      statistics, summary, None)
     finally:
         if persisted_input is not None:
             persisted_input.unpersist()
     return summary
 
 
-def _run_commit_groups(spark, chunked, pending, group, out, statistics,
-                       fail_after_buckets, summary) -> None:
-    for gi in range(0, len(pending), group):
-        batch_buckets = pending[gi: gi + group]
-        if fail_after_buckets is not None and summary["processed_buckets"] >= fail_after_buckets:
-            raise RuntimeError("injected failure for resume test")
-        t0 = time.time()
-        part = chunked.filter(F.col("bucket").isin(batch_buckets))
-        # rebalance on the partition columns BEFORE the partitioned write:
-        # without it every write task opens a file in every (source,
-        # bucket) dir it touches — tasks x dirs small files (measured
-        # 1274/group at bench scale, ~30 ms commit cost each). Hashing
-        # each combo to one task yields one file per dir per group; the
-        # price is one shuffle of the group's COMPRESSED blocks (~0.5x
-        # input bytes), the standard trade for dynamic-partitioned sinks.
-        encoded = (
-            _encode_with_bucket(part)
-            .repartition(F.col("source"), F.col("bucket"))
-            .persist()
-        )
-        # ONE aggregation job for the whole manifest payload: the codec
-        # histogram rides as conditional sums over the (static, small)
-        # codec vocabulary instead of a second groupBy job per commit
-        from ..functions.kernels import CODEC_IDS
+def _process_commit_group(spark, chunked, batch_buckets, out, statistics,
+                          summary, lock) -> None:
+    t0 = time.time()
+    part = chunked.filter(F.col("bucket").isin(batch_buckets))
+    # rebalance on the partition columns BEFORE the partitioned write:
+    # without it every write task opens a file in every (source,
+    # bucket) dir it touches — tasks x dirs small files (measured
+    # 1274/group at bench scale, ~30 ms commit cost each). Hashing
+    # each combo to one task yields one file per dir per group; the
+    # price is one shuffle of the group's COMPRESSED blocks (~0.5x
+    # input bytes), the standard trade for dynamic-partitioned sinks.
+    encoded = (
+        _encode_with_bucket(part)
+        .repartition(F.col("source"), F.col("bucket"))
+        .persist()
+    )
+    # ONE aggregation job for the whole manifest payload: the codec
+    # histogram rides as conditional sums over the (static, small)
+    # codec vocabulary instead of a second groupBy job per commit
+    from ..functions.kernels import CODEC_IDS
 
-        codec_names = sorted(CODEC_IDS)
-        stats = encoded.groupBy("bucket").agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum("meta.input_bytes").alias("input_bytes"),
-            F.sum("meta.output_bytes").alias("output_bytes"),
-            F.sum(F.crc32(F.col("block"))).alias("block_crc"),
-            *[F.sum(F.when(F.col("codec") == c, 1).otherwise(0))
-              .alias(f"_codec_{c}") for c in codec_names],
-        )
-        # Iceberg-style two-level layout source=<v>/bucket=<k> (SURVEY §7
-        # stage 4): source gives partition pruning for consumers, bucket
-        # stays the idempotent resume/commit unit
-        enc.write_encoded(
-            encoded, os.path.join(out, "data"),
-            partition_by=["source", "bucket"],
-            statistics=statistics,
-            partitionOverwriteMode="dynamic",
-        )
-        wall = time.time() - t0
-        stat_rows = {r["bucket"]: r for r in stats.collect()}
-        hist_rows = {
-            b: {c: int(r[f"_codec_{c}"]) for c in codec_names
-                if int(r[f"_codec_{c}"])}
-            for b, r in stat_rows.items()
+    codec_names = sorted(CODEC_IDS)
+    stats = encoded.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("meta.input_bytes").alias("input_bytes"),
+        F.sum("meta.output_bytes").alias("output_bytes"),
+        F.sum(F.crc32(F.col("block"))).alias("block_crc"),
+        *[F.sum(F.when(F.col("codec") == c, 1).otherwise(0))
+          .alias(f"_codec_{c}") for c in codec_names],
+    )
+    # Iceberg-style two-level layout source=<v>/bucket=<k> (SURVEY §7
+    # stage 4): source gives partition pruning for consumers, bucket
+    # stays the idempotent resume/commit unit
+    enc.write_encoded(
+        encoded, os.path.join(out, "data"),
+        partition_by=["source", "bucket"],
+        statistics=statistics,
+        partitionOverwriteMode="dynamic",
+    )
+    wall = time.time() - t0
+    stat_rows = {r["bucket"]: r for r in stats.collect()}
+    hist_rows = {
+        b: {c: int(r[f"_codec_{c}"]) for c in codec_names
+            if int(r[f"_codec_{c}"])}
+        for b, r in stat_rows.items()
+    }
+    encoded.unpersist()
+    for b in batch_buckets:
+        r = stat_rows.get(b)
+        row = {
+            "bucket": b,
+            "status": "done",
+            "n_rows": int(r["n_rows"]) if r else 0,
+            "n_docs": int(r["n_docs"]) if r else 0,
+            "input_bytes": int(r["input_bytes"] or 0) if r else 0,
+            "output_bytes": int(r["output_bytes"] or 0) if r else 0,
+            "codec_hist": json.dumps(hist_rows.get(b, {})),
+            "block_crc": int(r["block_crc"] or 0) if r else 0,
+            "wall_sec": wall / len(batch_buckets),
+            "ts": time.time(),
         }
-        encoded.unpersist()
-        for b in batch_buckets:
-            r = stat_rows.get(b)
-            row = {
-                "bucket": b,
-                "status": "done",
-                "n_rows": int(r["n_rows"]) if r else 0,
-                "n_docs": int(r["n_docs"]) if r else 0,
-                "input_bytes": int(r["input_bytes"] or 0) if r else 0,
-                "output_bytes": int(r["output_bytes"] or 0) if r else 0,
-                "codec_hist": json.dumps(hist_rows.get(b, {})),
-                "block_crc": int(r["block_crc"] or 0) if r else 0,
-                "wall_sec": wall / len(batch_buckets),
-                "ts": time.time(),
-            }
-            _write_manifest_row(spark, out, row)
-            summary["processed_buckets"] += 1
-            summary["n_rows"] += row["n_rows"]
-            summary["input_bytes"] += row["input_bytes"]
-            summary["output_bytes"] += row["output_bytes"]
+        _write_manifest_row(spark, out, row)
+        if lock is not None:
+            with lock:
+                _tally(summary, row)
+        else:
+            _tally(summary, row)
+
+
+def _tally(summary: dict, row: dict) -> None:
+    summary["processed_buckets"] += 1
+    summary["n_rows"] += row["n_rows"]
+    summary["input_bytes"] += row["input_bytes"]
+    summary["output_bytes"] += row["output_bytes"]
 
 
 def _encode_with_bucket(chunked_with_bucket: DataFrame) -> DataFrame:

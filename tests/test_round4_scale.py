@@ -281,6 +281,35 @@ def test_decoded_tokens_context_manager(spark):
     assert dec._LIVE_DECODE_CACHES == []
 
 
+def test_pipeline_concurrent_commits_match_sequential(spark, tmp_path):
+    """concurrent_commits overlaps disjoint-partition commit groups; the
+    result (data + manifests) must equal the sequential run's."""
+    from parquet_playground_rs_spark.plans import pipeline
+    from parquet_playground_rs_spark.sources.generator import sequences_df
+
+    seq = sequences_df(spark, 400, seed=5, partitions=4)
+    seq_out = str(tmp_path / "seq")
+    con_out = str(tmp_path / "con")
+    s1 = pipeline.run_encode_job(spark, seq, seq_out, n_buckets=12,
+                                 chunk_size=1024, buckets_per_commit=3)
+    s2 = pipeline.run_encode_job(spark, seq, con_out, n_buckets=12,
+                                 chunk_size=1024, buckets_per_commit=3,
+                                 concurrent_commits=4)
+    assert s1["processed_buckets"] == s2["processed_buckets"] == 12
+    assert s1["n_rows"] == s2["n_rows"]
+    assert s1["output_bytes"] == s2["output_bytes"]
+    m1 = {r["bucket"]: (r["n_rows"], r["block_crc"])
+          for r in pipeline.read_manifest(spark, seq_out).collect()}
+    m2 = {r["bucket"]: (r["n_rows"], r["block_crc"])
+          for r in pipeline.read_manifest(spark, con_out).collect()}
+    assert m1 == m2
+    assert pipeline.verify_job(spark, seq, con_out)["n_mismatch"] == 0
+    with pytest.raises(ValueError):
+        pipeline.run_encode_job(spark, seq, str(tmp_path / "x"),
+                                n_buckets=4, buckets_per_commit=1,
+                                fail_after_buckets=1, concurrent_commits=2)
+
+
 # ------------------------------------------------------- vocab knob
 
 def test_vocab_knob_threads_through_tokenizer(spark, docs):
