@@ -539,6 +539,28 @@ def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_apply_prehashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precomputed-(hash, id) overload of exact_dedup (the 100-TB
+    single-corpus-scan path, round-4): hashes come from a MATERIALIZED
+    side table, docs are scanned once for the anti-join, and the result
+    must checksum identically to the inline path — same oracle SQL as
+    dedup_apply."""
+    from parquet_playground_rs_spark.operators.dedup import exact_dedup
+
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    hdir = tempfile.mkdtemp(prefix="spark_graft_hashes_")
+    docs.select("doc_id", F.md5("text").alias("text_md5")) \
+        .write.mode("overwrite").parquet(hdir)  # the stored-hash table
+    out = exact_dedup(docs, hashes=spark.read.parquet(hdir), validate=True)
+    return out.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("chars_checksum"),
+    )
+
+
 _Q_DEDUP_APPLY_SQL = """
 WITH ranked AS (
   SELECT doc_id, n_chars,
@@ -781,6 +803,38 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = bfp.join(annp, ["query_id", "neighbor_id"], "left_semi").count()
     total = bfp.count()
     n_queries = queries_df.count()
+    return spark.createDataFrame(
+        [(int(n_queries), int(total),
+          int(hits >= _ANN_RECALL_FLOOR * max(total, 1)))],
+        "n_queries bigint, n_exact bigint, recall_ok bigint",
+    )
+
+
+def _q_ann_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_topk through the mapInArrow matmul kernel (round-4): the
+    projection-size threshold is forced to 0 so signbit_buckets routes
+    every matrix through the kernel path — same seeded hyperplanes, same
+    band keys, so the recall contract and the oracle are IDENTICAL to
+    ann_topk. This is the driver-level proof that the bounded-plan path
+    (the one a 768-d corpus takes) computes the same buckets."""
+    from parquet_playground_rs_spark.operators import similarity
+
+    orig = similarity.LITERAL_PROJECTION_MAX
+    similarity.LITERAL_PROJECTION_MAX = 0
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()["embedding"])
+        queries_df = emb.orderBy("vec_id").limit(20)
+        bf = similarity.brute_force_topk(emb, queries_df, k=5)
+        ann = similarity.lsh_topk(emb, queries_df, dim=dim, k=5,
+                                  n_planes=12, bands=6)
+        bfp = bf.select("query_id", "neighbor_id")
+        hits = bfp.join(ann.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi").count()
+        total = bfp.count()
+        n_queries = queries_df.count()
+    finally:
+        similarity.LITERAL_PROJECTION_MAX = orig
     return spark.createDataFrame(
         [(int(n_queries), int(total),
           int(hits >= _ANN_RECALL_FLOOR * max(total, 1)))],
@@ -1527,6 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_topk": _q_ann_topk,
+        "ann_topk_kernel": _q_ann_topk_kernel,
+        "dedup_apply_prehashed": _q_dedup_apply_prehashed,
         "embedding_near_dups": _q_embedding_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "ivf_topk": _q_ivf_topk,
@@ -1622,6 +1678,15 @@ SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
        CAST(1 AS BIGINT) AS recall_ok
 FROM c
 """,
+        # identical contract: the kernel path computes the same band keys
+        "ann_topk_kernel": """
+WITH c AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
+       CAST(least(20, n) * least(5, n - 1) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM c
+""",
+        "dedup_apply_prehashed": _Q_DEDUP_APPLY_SQL,
         "ivf_topk": """
 WITH c AS (SELECT count(*) AS n FROM embeddings)
 SELECT CAST(least(20, n) AS BIGINT) AS n_queries,

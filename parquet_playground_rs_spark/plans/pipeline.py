@@ -115,6 +115,7 @@ def run_encode_job(
     fail_after_buckets: int | None = None,
     statistics: str = "page",
     concurrent_commits: int = 1,
+    cache_input: bool = False,
 ) -> dict:
     """Encode `source_df` into `out`, resuming past completed buckets.
 
@@ -128,7 +129,17 @@ def run_encode_job(
     aggregation, the write commit walk) that otherwise serialize —
     commit granularity stops taxing wall-clock. Incompatible with
     `fail_after_buckets` (the kill test needs deterministic ordering).
-    Returns summary stats for the run.
+
+    `cache_input` persists the chunked+bucketed frame (DISK_ONLY) so the
+    G commit groups read the cache instead of re-scanning the source.
+    Default OFF — measured at the 8M-row rehearsal: for a LOCAL COLUMNAR
+    source, G column-pruned re-scans (~G x source bytes, vectorized
+    reader) beat the cache's serialize-once + G deserializing reads of
+    the row-expanded work list (~2x source bytes per pass, and a
+    memory-first level stalls the encode mappers' Arrow allocations —
+    GC-locker retries observed). Turn it ON when the source is expensive
+    to re-derive: JSON/CSV decode, a remote object store, or an upstream
+    transform pipeline. Returns summary stats for the run.
     """
     done = completed_buckets(spark, out)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -143,19 +154,10 @@ def run_encode_job(
     # idempotent write whose manifest rows land only after success
     group = buckets_per_commit or len(pending)
     persisted_input = None
-    if group < len(pending):
-        # multiple commit groups would each re-scan the source and
-        # re-derive the chunk grid + bucket hash (bucket is computed, so
-        # the per-group filter cannot prune the scan). Persist the
-        # chunked frame once — spillable, released at the end — so every
-        # group reads its slice from the cache (measured 51x -> ~2x
-        # overhead at bench scale). At cluster scale this is the
-        # standard materialize-the-work-list trade: local disk cache
-        # bounded by the input slice per executor; callers preferring
-        # G re-scans over the cache can pass buckets_per_commit=None.
+    if cache_input and group < len(pending):
         from pyspark import StorageLevel
 
-        persisted_input = chunked.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_input = chunked.persist(StorageLevel.DISK_ONLY)
         chunked = persisted_input
     groups = [pending[gi: gi + group] for gi in range(0, len(pending), group)]
     try:
