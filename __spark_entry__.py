@@ -866,6 +866,76 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 affine embedding quantization (operators/quantize.py, round
+    4): codes are JVM expressions the DuckDB oracle recomputes exactly
+    (both engines widen float32 -> float64 before any arithmetic, so
+    floor-at-half boundaries agree bit-for-bit). The verdict row folds
+    in the engine-side guarantees the oracle can't see: the packed
+    binary form round-trips bit-exactly (n_pack_mismatch) and the
+    reconstruction error stays within scale/2 + eps per element
+    (n_err_violations)."""
+    from parquet_playground_rs_spark.operators import quantize as qz
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = qz.quantize_embeddings(emb).cache()
+    packed = qz.pack_codes(q)
+    unpacked = qz.unpack_codes(packed).select(
+        "vec_id", F.col("codes").alias("codes2"))
+    pack_mismatch = (
+        q.join(unpacked, "vec_id")
+        .agg(F.coalesce(F.sum(F.when(F.col("codes") != F.col("codes2"), 1)
+                              .otherwise(0)), F.lit(0))
+             .cast("long").alias("n_pack_mismatch"))
+    )
+    deq = qz.dequantize_embeddings(q).select(
+        "vec_id", F.col("embedding").alias("rec"))
+    vec = F.col("embedding").cast("array<double>")
+    bound = (F.array_max(vec) - F.array_min(vec)) / F.lit(255.0) \
+        / F.lit(2.0) + F.lit(1e-9)
+    err = (
+        emb.select("vec_id", "embedding").join(deq, "vec_id")
+        .select(
+            F.when(
+                F.array_max(F.zip_with(vec, F.col("rec"),
+                                       lambda a, b: F.abs(a - b))) > bound,
+                1).otherwise(0).alias("viol"))
+        .agg(F.coalesce(F.sum("viol"), F.lit(0)).cast("long")
+             .alias("n_err_violations"))
+    )
+    summary = q.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.max("dim").cast("long").alias("dim"),
+        F.sum(F.aggregate("codes", F.lit(0).cast("long"),
+                          lambda acc, c: acc + c))
+        .cast("long").alias("code_checksum"),
+    )
+    return summary.crossJoin(err).crossJoin(pack_mismatch)
+
+
+_Q_EMBEDDING_QUANTIZE_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+mm AS (
+  SELECT vec_id, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY vec_id),
+c AS (
+  SELECT x.vec_id,
+         CASE WHEN mm.vmax = mm.vmin THEN 0
+              ELSE greatest(0, least(255,
+                CAST(floor((x.v - mm.vmin)
+                           / ((mm.vmax - mm.vmin) / 255.0) + 0.5)
+                     AS INT)))
+         END AS code
+  FROM x JOIN mm USING (vec_id))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS dim,
+       CAST(sum(code) AS BIGINT) AS code_checksum,
+       CAST(0 AS BIGINT) AS n_err_violations,
+       CAST(0 AS BIGINT) AS n_pack_mismatch
+FROM c
+"""
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic media -> fake feature extraction."""
     from parquet_playground_rs_spark.operators import multimodal as mm
@@ -1586,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "ivf_topk": _q_ivf_topk,
+        "embedding_quantize": _q_embedding_quantize,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
         "streaming_sessions_equiv": _q_streaming_sessions_equiv,
@@ -1687,6 +1758,7 @@ SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
 FROM c
 """,
         "dedup_apply_prehashed": _Q_DEDUP_APPLY_SQL,
+        "embedding_quantize": _Q_EMBEDDING_QUANTIZE_SQL,
         "ivf_topk": """
 WITH c AS (SELECT count(*) AS n FROM embeddings)
 SELECT CAST(least(20, n) AS BIGINT) AS n_queries,

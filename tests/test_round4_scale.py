@@ -310,6 +310,56 @@ def test_pipeline_concurrent_commits_match_sequential(spark, tmp_path):
                                 fail_after_buckets=1, concurrent_commits=2)
 
 
+# ------------------------------------------------- embedding quantization
+
+def test_quantize_error_bound_and_pack_roundtrip(spark):
+    from parquet_playground_rs_spark.operators import quantize as qz
+
+    df = _vec_df(spark, 150, 24, seed=21)
+    q = qz.quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    src = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for vid, r in rows.items():
+        v = np.array(src[vid])
+        scale = (r["vmax"] - r["vmin"]) / 255.0
+        rec = r["vmin"] + np.array(r["codes"]) * scale
+        assert np.abs(rec - v).max() <= scale / 2 + 1e-9
+        assert min(r["codes"]) >= 0 and max(r["codes"]) <= 255
+    # packed binary round-trips bit-exactly
+    unpacked = qz.unpack_codes(qz.pack_codes(q))
+    back = {r["vec_id"]: r["codes"] for r in unpacked.collect()}
+    assert back == {vid: r["codes"] for vid, r in rows.items()}
+    # dequantize matches the manual reconstruction
+    deq = {r["vec_id"]: r["embedding"]
+           for r in qz.dequantize_embeddings(q).collect()}
+    for vid, r in rows.items():
+        scale = (r["vmax"] - r["vmin"]) / 255.0
+        manual = r["vmin"] + np.array(r["codes"]) * scale
+        assert np.allclose(deq[vid], manual, atol=0)
+
+
+def test_quantize_constant_vector(spark):
+    from parquet_playground_rs_spark.operators import quantize as qz
+
+    df = spark.createDataFrame([(1, [3.5, 3.5, 3.5])],
+                               "vec_id long, embedding array<double>")
+    r = qz.quantize_embeddings(df).first()
+    assert r["codes"] == [0, 0, 0] and r["vmin"] == r["vmax"] == 3.5
+    rec = qz.dequantize_embeddings(
+        qz.quantize_embeddings(df)).first()["embedding"]
+    assert rec == [3.5, 3.5, 3.5]
+
+
+def test_quantize_plan_is_shuffle_free(spark, tmp_path):
+    from parquet_playground_rs_spark.operators import quantize as qz
+
+    path = str(tmp_path / "emb")
+    _vec_df(spark, 50, 8).write.parquet(path)
+    plan = qz.quantize_embeddings(spark.read.parquet(path)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one Project over the scan, no shuffle
+
+
 # ------------------------------------------------------- vocab knob
 
 def test_vocab_knob_threads_through_tokenizer(spark, docs):
