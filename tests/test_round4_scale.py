@@ -310,6 +310,27 @@ def test_pipeline_concurrent_commits_match_sequential(spark, tmp_path):
                                 fail_after_buckets=1, concurrent_commits=2)
 
 
+def test_lsh_topk_and_near_dups_at_768d_kernel_path(spark):
+    """The composed consumers of signbit_buckets (candidate join, bucket
+    caps, exact re-score) must work end-to-end when the projection
+    routes through the kernel (768-d x 64 planes)."""
+    dim = 768
+    corpus = _vec_df(spark, 80, dim, seed=17)
+    queries = corpus.limit(5)
+    out = similarity.lsh_topk(corpus, queries, dim=dim, k=3,
+                              n_planes=64, bands=16)
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+    # duplicate two vectors -> near-dup pairs must surface
+    dup = corpus.filter(F.col("vec_id") < 2) \
+        .withColumn("vec_id", F.col("vec_id") + 1000)
+    pairs = similarity.embedding_near_dups(
+        corpus.unionByName(dup), dim=dim, threshold=0.999,
+        n_planes=64, bands=16)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1000) in found and (1, 1001) in found
+
+
 # ------------------------------------------------- embedding quantization
 
 def test_quantize_error_bound_and_pack_roundtrip(spark):
@@ -336,6 +357,38 @@ def test_quantize_error_bound_and_pack_roundtrip(spark):
         scale = (r["vmax"] - r["vmin"]) / 255.0
         manual = r["vmin"] + np.array(r["codes"]) * scale
         assert np.allclose(deq[vid], manual, atol=0)
+
+
+def test_quantize_property_bound(spark):
+    """Hypothesis sweep: arbitrary finite float vectors (negatives, tiny
+    ranges, mixed magnitudes) keep the scale/2 reconstruction bound and
+    uint8 code range."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_playground_rs_spark.operators import quantize as qz
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(
+        st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                           allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=1, max_size=24),
+        min_size=1, max_size=6))
+    def check(vectors):
+        rows = [(i, [float(v) for v in vec])
+                for i, vec in enumerate(vectors)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        for r in qz.quantize_embeddings(df).collect():
+            src = dict(rows)[r["vec_id"]]
+            scale = (r["vmax"] - r["vmin"]) / 255.0
+            rec = np.array(r["vmin"]) + np.array(r["codes"]) * scale
+            assert np.abs(rec - np.array(src)).max() <= scale / 2 + 1e-6 \
+                or scale == 0
+            assert all(0 <= c <= 255 for c in r["codes"])
+
+    check()
 
 
 def test_quantize_constant_vector(spark):
