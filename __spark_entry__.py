@@ -910,7 +910,12 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                           lambda acc, c: acc + c))
         .cast("long").alias("code_checksum"),
     )
-    return summary.crossJoin(err).crossJoin(pack_mismatch)
+    out = summary.crossJoin(err).crossJoin(pack_mismatch)
+    # materialize the one-row verdict, then drop the cache (driver/gate
+    # sessions must not accrete one cached frame per call)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    q.unpersist()
+    return result
 
 
 _Q_EMBEDDING_QUANTIZE_SQL = """
