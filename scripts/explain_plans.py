@@ -279,6 +279,20 @@ def main() -> None:
          ">1M) -> %s" % ("PASS" if len(p768) < 20_000 else "FAIL")],
     ))
 
+    # 5c. embedding quantization: codes are one Project over the scan
+    from parquet_playground_rs_spark.operators import quantize as qz
+    p = plan_of(qz.quantize_embeddings(emb))
+    sections.append((
+        "Embedding quantization: single Project, shuffle-free",
+        p,
+        ["no Exchange (codes are JVM expressions over the scan) -> %s"
+         % ("PASS" if "Exchange" not in p else "FAIL"),
+         "no Python stage (the mapInArrow kernel is only the PACKED "
+         "storage form) -> %s"
+         % ("PASS" if "MapInArrow" not in p and "Python" not in p
+            else "FAIL")],
+    ))
+
     lines = ["# PLANS — physical-plan evidence for the scale-critical properties\n",
              "Generated by scripts/explain_plans.py (sf0.01 inputs).\n"]
     for title, plan, checks in sections:
