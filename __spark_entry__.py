@@ -866,6 +866,36 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF workflow (round 4): write_ivf_index partitions
+    unit vectors by cell on disk, ivf_query scans ONLY the probed
+    `cell=<j>/` partitions (partition pruning — the build-once /
+    query-many shape a 10^12-row corpus needs). Same recall contract and
+    oracle as ivf_topk: identical centroids mean the probed cells and
+    re-scored candidates match the one-pass operator exactly."""
+    import tempfile
+
+    from parquet_playground_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries_df = emb.orderBy("vec_id").limit(20)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_idx_")
+    similarity.write_ivf_index(emb, dim, path, n_centroids=16)
+    bf = similarity.brute_force_topk(emb, queries_df, k=5)
+    ivf = similarity.ivf_query(queries_df, dim, path, k=5, nprobe=6)
+    bfp = bf.select("query_id", "neighbor_id")
+    hits = bfp.join(ivf.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"], "left_semi").count()
+    total = bfp.count()
+    n_queries = queries_df.count()
+    return spark.createDataFrame(
+        [(int(n_queries), int(total),
+          int(hits >= _IVF_RECALL_FLOOR * max(total, 1)))],
+        "n_queries bigint, n_exact bigint, recall_ok bigint",
+    )
+
+
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 affine embedding quantization (operators/quantize.py, round
     4): codes are JVM expressions the DuckDB oracle recomputes exactly
@@ -1661,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "ivf_topk": _q_ivf_topk,
+        "ivf_index_topk": _q_ivf_index_topk,
         "embedding_quantize": _q_embedding_quantize,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
@@ -1765,6 +1796,14 @@ FROM c
         "dedup_apply_prehashed": _Q_DEDUP_APPLY_SQL,
         "embedding_quantize": _Q_EMBEDDING_QUANTIZE_SQL,
         "ivf_topk": """
+WITH c AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
+       CAST(least(5, n - 1) * least(20, n) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM c
+""",
+        # the persisted-index path carries the same recall contract
+        "ivf_index_topk": """
 WITH c AS (SELECT count(*) AS n FROM embeddings)
 SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
        CAST(least(5, n - 1) * least(20, n) AS BIGINT) AS n_exact,

@@ -400,6 +400,111 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .filter(F.col("rank") <= k)
 
 
+def write_ivf_index(corpus: DataFrame, dim: int, path: str,
+                    n_centroids: int = 16, sample: int = 2048,
+                    iters: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """Persist an IVF index: unit vectors partitioned by cell id, plus
+    the centroid matrix — the build-once / query-many layout a 10^12-row
+    corpus needs (ivf_topk's single-pass mode re-quantizes the corpus on
+    every call; an index write amortizes that across all future query
+    batches, and the `cell=<j>/` partitioning means each query batch
+    READS only its probed cells via partition pruning, not the corpus).
+
+    Layout: ``path/cells/cell=<j>/*.parquet`` (vec id + unit vector) and
+    ``path/centroids/*.parquet`` (cell, component position, weight).
+    Returns the centroid matrix."""
+    spark = corpus.sparkSession
+    C = centroids if centroids is not None else train_ivf_centroids(
+        corpus, dim, n_centroids, sample, iters,
+        id_col=id_col, vec_col=vec_col)
+    if int(C.shape[0]) * dim > LITERAL_PROJECTION_MAX:
+        assigned = with_unit_vectors(
+            _with_cells_kernel(corpus.select(id_col, vec_col), C, dim,
+                               id_col, vec_col), vec_col)
+    else:
+        scores = _cell_scores(vec_col, C)
+        assigned = with_unit_vectors(corpus, vec_col).withColumn(
+            "cell", F.array_position(scores, F.array_max(scores))
+            .cast("int"))
+    # rebalance on cell before the partitioned write (one file per cell
+    # dir per shuffle partition, not tasks x cells — the same trade as
+    # plans/pipeline.py's commit write)
+    (assigned.select(id_col, F.col("unit"), "cell")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/cells"))
+    cent_rows = [(int(j), int(p), float(C[j, p]))
+                 for j in range(C.shape[0]) for p in range(dim)]
+    spark.createDataFrame(cent_rows, "cell int, pos int, w double") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return C
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    k = max(r["cell"] for r in rows) + 1
+    dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((k, dim))
+    for r in rows:
+        C[r["cell"], r["pos"]] = r["w"]
+    return C
+
+
+def ivf_query(queries: DataFrame, dim: int, path: str, k: int = 10,
+              nprobe: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Query a persisted IVF index: per query derive the nprobe best
+    cells, then scan ONLY those `cell=<j>/` partitions (the probed cell
+    ids are collected to the driver — bounded by n_centroids, a model
+    artifact — and pushed as a partition filter, so the scan prunes to
+    nprobe/n_centroids of the index regardless of corpus size). Exact
+    cosine re-score inside the probed cells, same output shape as
+    ivf_topk."""
+    spark = queries.sparkSession
+    C = read_ivf_centroids(spark, path)
+    if int(C.shape[0]) * dim > LITERAL_PROJECTION_MAX:
+        q_assigned = with_unit_vectors(
+            _with_cells_kernel(queries.select(id_col, vec_col), C, dim,
+                               id_col, vec_col, nprobe=nprobe), vec_col) \
+            .select(F.col(id_col).alias("query_id"),
+                    F.col("unit").alias("qu"),
+                    F.explode("cells").alias("cell"))
+    else:
+        scores = _cell_scores(vec_col, C)
+        ranked = F.slice(
+            F.array_sort(
+                F.zip_with(scores,
+                           F.sequence(F.lit(1), F.lit(int(C.shape[0]))),
+                           lambda s, i: F.struct((-s).alias("neg"),
+                                                 i.alias("idx")))),
+            1, nprobe)
+        q_assigned = with_unit_vectors(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("unit").alias("qu"),
+            F.explode(F.transform(ranked, lambda s: s["idx"]))
+            .alias("cell"))
+    # the probed-cell set is bounded by n_centroids (a model artifact,
+    # not data-scaled); deriving it re-executes the tiny query-side plan
+    # once — cheaper than holding a cache open
+    probed = sorted(r["cell"]
+                    for r in q_assigned.select("cell").distinct().collect())
+    cells = (spark.read.parquet(f"{path}/cells")
+             .filter(F.col("cell").isin(probed))
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.col("unit").alias("cu"), "cell"))
+    scored = (
+        cells.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                _dot(F.col("cu"), F.col("qu")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
 def embedding_near_dups(corpus: DataFrame, dim: int, threshold: float = 0.95,
                         n_planes: int = 16, bands: int = 4, seed: int = 42,
                         id_col: str = "vec_id", vec_col: str = "embedding",

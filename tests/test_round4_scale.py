@@ -310,6 +310,48 @@ def test_pipeline_concurrent_commits_match_sequential(spark, tmp_path):
                                 fail_after_buckets=1, concurrent_commits=2)
 
 
+def test_ivf_index_query_matches_one_pass(spark, tmp_path):
+    """write_ivf_index + ivf_query == ivf_topk on the same centroids,
+    and the query scan prunes to the probed cell partitions."""
+    dim = 16
+    corpus = _vec_df(spark, 200, dim, seed=31)
+    queries = corpus.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivf")
+    C = similarity.write_ivf_index(corpus, dim, path, n_centroids=8,
+                                   sample=200)
+    q_idx = similarity.ivf_query(queries, dim, path, k=4, nprobe=3)
+    one_pass = similarity.ivf_topk(corpus, queries, dim, k=4, nprobe=3,
+                                   centroids=C)
+    a = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+               for r in q_idx.collect())
+    b = sorted((r["query_id"], r["neighbor_id"], r["rank"])
+               for r in one_pass.collect())
+    assert a == b and a
+    plan = q_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivf_index_roundtrips_centroids(spark, tmp_path):
+    dim = 12
+    corpus = _vec_df(spark, 80, dim, seed=2)
+    path = str(tmp_path / "ivf2")
+    C = similarity.write_ivf_index(corpus, dim, path, n_centroids=5,
+                                   sample=80)
+    C2 = similarity.read_ivf_centroids(spark, path)
+    assert np.array_equal(C, C2)
+
+
+def test_ivf_index_kernel_path_at_768d(spark, tmp_path):
+    dim = 768
+    corpus = _vec_df(spark, 60, dim, seed=41)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf768")
+    similarity.write_ivf_index(corpus, dim, path, n_centroids=16,
+                               sample=60)  # 16*768 > threshold -> kernel
+    rows = similarity.ivf_query(queries, dim, path, k=3, nprobe=4).collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+
+
 def test_lsh_topk_and_near_dups_at_768d_kernel_path(spark):
     """The composed consumers of signbit_buckets (candidate join, bucket
     caps, exact re-score) must work end-to-end when the projection
