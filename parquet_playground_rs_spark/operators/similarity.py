@@ -435,20 +435,22 @@ def write_ivf_index(corpus: DataFrame, dim: int, path: str,
      .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/cells"))
-    cent_rows = [(int(j), int(p), float(C[j, p]))
-                 for j in range(C.shape[0]) for p in range(dim)]
-    spark.createDataFrame(cent_rows, "cell int, pos int, w double") \
+    cent_rows = [(int(j), [float(w) for w in C[j]])
+                 for j in range(C.shape[0])]
+    spark.createDataFrame(cent_rows, "cell int, weights array<double>") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return C
 
 
 def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix from the index: n_centroids ROWS (one array per
+    centroid, not one row per component — the collect stays
+    model-artifact-sized at any dim)."""
     rows = spark.read.parquet(f"{path}/centroids").collect()
     k = max(r["cell"] for r in rows) + 1
-    dim = max(r["pos"] for r in rows) + 1
-    C = np.zeros((k, dim))
+    C = np.zeros((k, len(rows[0]["weights"])))
     for r in rows:
-        C[r["cell"], r["pos"]] = r["w"]
+        C[r["cell"]] = r["weights"]
     return C
 
 
