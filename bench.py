@@ -142,7 +142,12 @@ def main() -> None:
     # idle host cores and make timings incomparable)
     pinned = None
     try:
-        cores = set(range(min(CPUS, os.cpu_count() or CPUS)))
+        # respect an OUTER taskset: take the first CPUS cores of the
+        # current allowance, never cores outside it (sched_setaffinity is
+        # not bounded by the inherited mask, and re-pinning to 0..CPUS-1
+        # would stack interleaved protocol instances onto the same cores)
+        allowed = sorted(os.sched_getaffinity(0))
+        cores = set(allowed[:min(CPUS, len(allowed))])
         os.sched_setaffinity(0, cores)
         pinned = sorted(cores)
     except (AttributeError, OSError):
@@ -153,7 +158,8 @@ def main() -> None:
                       shuffle_partitions=CPUS, driver_mem="12g", ui=True)
     timings: dict[str, float] = {}
     extra: dict = {}
-    extra["pinned_cores"] = (f"0-{pinned[-1]}" if pinned else "unpinned")
+    extra["pinned_cores"] = (
+        f"{pinned[0]}-{pinned[-1]}" if pinned else "unpinned")
     if sf_defaulted:
         extra["synthetic_rows_defaulted_for_unknown_sf"] = n_rows
 

@@ -451,11 +451,12 @@ def _decode_fsst_group(d: np.ndarray, starts: np.ndarray) -> np.ndarray:
                 _seg_gather(d, codes_start, n_in[r], it))
         elif carry_inter is not None:
             # split carry: valid because no row entered this round, so the
-            # active set and row order equal last round's
+            # active set and row order equal last round's. (A no-entering
+            # round ALWAYS has a split carry — the previous iteration's
+            # `not (n_rounds == r).any()` check is the same condition —
+            # so there is no fourth "reuse the merged arena" case.)
             split = (carry_inter, carry_tail)
             new_arena = None
-        elif not entering.any():
-            new_arena = codes_arena
         else:
             new_lens = np.where(entering, n_in[r], codes_lens)
             new_arena = np.empty(int(new_lens.sum()), dtype=np.uint8)

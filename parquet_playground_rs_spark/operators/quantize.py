@@ -81,14 +81,13 @@ def dequantize_embeddings(q: DataFrame) -> DataFrame:
     )
 
 
-_PACKED_DDL = "vec_id long, q binary, vmin double, vmax double, dim int"
-
-
 def pack_codes(q: DataFrame, id_type: str | None = None) -> DataFrame:
     """codes array<int> -> one binary blob per vector (1 byte/dim) — the
     storage form. One vectorized mapInArrow kernel: the batch's code
     lists flatten to a uint8 arena and reslice as binary, no per-row
-    Python."""
+    Python. NULL rows or NULL elements raise (a silent empty/garbage
+    blob is not a representation of NULL; quantize NULL embeddings out
+    before packing)."""
     id_type = id_type or q.schema["vec_id"].dataType.simpleString()
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -98,9 +97,14 @@ def pack_codes(q: DataFrame, id_type: str | None = None) -> DataFrame:
             col = batch.column("codes")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            values = col.flatten()
+            if col.null_count or values.null_count:
+                raise ValueError(
+                    "pack_codes: NULL codes rows/elements are not "
+                    "packable — filter or impute before packing")
             offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
                                  count=col.offset + len(col) + 1)[col.offset:]
-            flat = col.flatten().to_numpy(zero_copy_only=False)
+            flat = values.to_numpy(zero_copy_only=False)
             if flat.size and (flat.min() < 0 or flat.max() > 255):
                 raise ValueError("codes out of uint8 range")
             arena = flat.astype(np.uint8)
@@ -128,6 +132,9 @@ def unpack_codes(packed: DataFrame) -> DataFrame:
             col = batch.column("q")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if col.null_count:
+                raise ValueError("unpack_codes: NULL blobs are not "
+                                 "decodable")
             offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
                                  count=col.offset + len(col) + 1)[col.offset:]
             data = np.frombuffer(col.buffers()[2], dtype=np.uint8)

@@ -109,9 +109,15 @@ def _signbit_buckets_kernel(df: DataFrame, dim: int, n_planes: int,
     worker (a pure function — nothing to broadcast/serialize), so the
     plan holds ZERO matrix literals regardless of dim.
 
-    Bit/band semantics are identical to the literal path: bit p = 1 iff
+    Bit/band semantics match the literal path: bit p = 1 iff
     dot(vec, plane_p) >= 0; band b's key packs its rows_per_band bits
-    little-endian."""
+    little-endian. Float caveat: the literal path folds the dot product
+    left-to-right while the matmul uses BLAS blocking — a dot product
+    within one ulp of 0.0 could round to different signs between the
+    two. For continuous embeddings that event has measure ~0 (the
+    equality pytests use fixed seeds and pass deterministically); the
+    cross-path contract at scale is recall-equivalence, not bit-equality
+    of band keys."""
     import pyarrow as pa
 
     rows_per_band = n_planes // bands
@@ -125,8 +131,12 @@ def _signbit_buckets_kernel(df: DataFrame, dim: int, n_planes: int,
                 continue
             X = _vectors_to_matrix(batch.column(vec_col), dim)
             bits = (X @ planes_t) >= 0  # (n, n_planes)
+            # only the first bands*rows_per_band planes feed band keys —
+            # exactly the literal path's indexing, which ignores leftover
+            # planes when n_planes is not a multiple of bands
+            used = bits[:, :bands * rows_per_band]
             keys = (
-                bits.reshape(-1, bands, rows_per_band).astype(np.int64)
+                used.reshape(-1, bands, rows_per_band).astype(np.int64)
                 * weights
             ).sum(axis=2)  # (n, bands)
             n = batch.num_rows
@@ -301,7 +311,10 @@ def _with_cells_kernel(df: DataFrame, C: np.ndarray, dim: int,
     nprobe=None -> append `cell` (1-based argmax, first-wins on ties —
     matches array_position(scores, array_max)); nprobe=k -> append
     `cells` array<int> of the k best cells ordered by descending score,
-    ties to the lower index (matches the literal array_sort ranking)."""
+    ties to the lower index (matches the literal array_sort ranking).
+    Same float caveat as _signbit_buckets_kernel: scores within one ulp
+    of a tie may order differently vs the literal fold — the cross-path
+    contract is recall-equivalence."""
     import pyarrow as pa
 
     bc = df.sparkSession.sparkContext.broadcast(

@@ -205,38 +205,43 @@ def _process_commit_group(spark, chunked, batch_buckets, out, statistics,
         .repartition(F.col("source"), F.col("bucket"))
         .persist()
     )
-    # ONE aggregation job for the whole manifest payload: the codec
-    # histogram rides as conditional sums over the (static, small)
-    # codec vocabulary instead of a second groupBy job per commit
-    from ..functions.kernels import CODEC_IDS
+    try:
+        # ONE aggregation job for the whole manifest payload: the codec
+        # histogram rides as conditional sums over the (static, small)
+        # codec vocabulary instead of a second groupBy job per commit
+        from ..functions.kernels import CODEC_IDS
 
-    codec_names = sorted(CODEC_IDS)
-    stats = encoded.groupBy("bucket").agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("meta.input_bytes").alias("input_bytes"),
-        F.sum("meta.output_bytes").alias("output_bytes"),
-        F.sum(F.crc32(F.col("block"))).alias("block_crc"),
-        *[F.sum(F.when(F.col("codec") == c, 1).otherwise(0))
-          .alias(f"_codec_{c}") for c in codec_names],
-    )
-    # Iceberg-style two-level layout source=<v>/bucket=<k> (SURVEY §7
-    # stage 4): source gives partition pruning for consumers, bucket
-    # stays the idempotent resume/commit unit
-    enc.write_encoded(
-        encoded, os.path.join(out, "data"),
-        partition_by=["source", "bucket"],
-        statistics=statistics,
-        partitionOverwriteMode="dynamic",
-    )
-    wall = time.time() - t0
-    stat_rows = {r["bucket"]: r for r in stats.collect()}
-    hist_rows = {
-        b: {c: int(r[f"_codec_{c}"]) for c in codec_names
-            if int(r[f"_codec_{c}"])}
-        for b, r in stat_rows.items()
-    }
-    encoded.unpersist()
+        codec_names = sorted(CODEC_IDS)
+        stats = encoded.groupBy("bucket").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("meta.input_bytes").alias("input_bytes"),
+            F.sum("meta.output_bytes").alias("output_bytes"),
+            F.sum(F.crc32(F.col("block"))).alias("block_crc"),
+            *[F.sum(F.when(F.col("codec") == c, 1).otherwise(0))
+              .alias(f"_codec_{c}") for c in codec_names],
+        )
+        # Iceberg-style two-level layout source=<v>/bucket=<k> (SURVEY §7
+        # stage 4): source gives partition pruning for consumers, bucket
+        # stays the idempotent resume/commit unit
+        enc.write_encoded(
+            encoded, os.path.join(out, "data"),
+            partition_by=["source", "bucket"],
+            statistics=statistics,
+            partitionOverwriteMode="dynamic",
+        )
+        wall = time.time() - t0
+        stat_rows = {r["bucket"]: r for r in stats.collect()}
+        hist_rows = {
+            b: {c: int(r[f"_codec_{c}"]) for c in codec_names
+                if int(r[f"_codec_{c}"])}
+            for b, r in stat_rows.items()
+        }
+    finally:
+        # released even when the write or collect fails: a failed commit
+        # group must not pin its cached blocks for the session lifetime
+        # (up to concurrent_commits leaked caches otherwise)
+        encoded.unpersist()
     for b in batch_buckets:
         r = stat_rows.get(b)
         row = {

@@ -433,6 +433,16 @@ def test_quantize_property_bound(spark):
     check()
 
 
+def test_pack_codes_rejects_nulls(spark):
+    from parquet_playground_rs_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], 0.0, 1.0, 3), (2, None, 0.0, 1.0, 3)],
+        "vec_id long, codes array<int>, vmin double, vmax double, dim int")
+    with pytest.raises(Exception, match="NULL"):
+        qz.pack_codes(df).collect()
+
+
 def test_quantize_constant_vector(spark):
     from parquet_playground_rs_spark.operators import quantize as qz
 
