@@ -465,6 +465,24 @@ def test_quantize_plan_is_shuffle_free(spark, tmp_path):
     assert "Exchange" not in plan  # one Project over the scan, no shuffle
 
 
+# ------------------------------------------- multibatch streaming verdict
+
+def test_streaming_multibatch_verdict(spark):
+    """The 5-file finite-watermark sessionizer run (driver query) must
+    produce a perfect verdict row: every expected session emitted and
+    matched, no value drift. (check_oracles also compares this against
+    DuckDB; this pytest keeps it in CI.)"""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    r = m._q_streaming_sessions_multibatch(spark, SF).first()
+    assert r["n_expected"] == r["n_stream"] == r["n_matched"] > 0
+    assert r["n_value_mismatch"] == 0
+
+
 # ------------------------------------------------------- vocab knob
 
 def test_vocab_knob_threads_through_tokenizer(spark, docs):
