@@ -13,6 +13,16 @@ restartable runs with per-partition lineage. Design:
   and appends one manifest JSON line under ``out/manifest/`` with lineage:
   row count, input/output bytes, per-codec histogram, checksum.
 - Resume = read manifest, anti-join pending buckets, process only those.
+- When commit granularity splits the work into G > 1 groups, the
+  chunked+bucketed work list is **staged once** under
+  ``out/staging/data/bucket=<b>/`` (a single source scan + one raw-bytes
+  shuffle) and every commit group reads ONLY its bucket directories via
+  partition pruning — G column-pruned re-scans of the source (round-4's
+  2.35x-overhead design) become one scan + one re-read of 1/G each. The
+  ``_STAGED.json`` marker makes the staging pass itself resumable and
+  records the params it was built with; staging is deleted after the
+  last bucket commits. At 100 TB from an object store this is the
+  difference between paying the corpus scan once and paying it G times.
 
 At cluster scale each "bucket commit" is one dynamic-partition-overwrite
 write; buckets are the engine's unit of progress and audit, mirroring what
@@ -105,6 +115,87 @@ def _write_manifest_row(spark: SparkSession, out: str, row: dict) -> None:
         raise IOError(f"manifest rename failed for bucket {row['bucket']}")
 
 
+def _staging_dirs(out: str) -> tuple[str, str, str]:
+    sdir = os.path.join(out, "staging")
+    return sdir, os.path.join(sdir, "data"), os.path.join(sdir, "_STAGED.json")
+
+
+def _write_small_file(spark: SparkSession, path: str, payload: str) -> None:
+    """tmp-write + rename of one small control file (same FS protocol as
+    the manifest rows)."""
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    try:
+        fs.setWriteChecksum(False)
+    except Exception:
+        pass
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(path + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(payload.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(f"rename failed for {path}")
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # JVM-side drain: a py4j byte[] argument is passed by VALUE, so
+        # the usual read(buf) loop can't see the bytes — commons-io (on
+        # Spark's classpath) slurps the stream inside the JVM instead
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def drop_staging(spark: SparkSession, out: str) -> None:
+    sdir, _, _ = _staging_dirs(out)
+    fs, jpath, _ = _hadoop_fs(spark, sdir)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _ensure_staged(spark: SparkSession, chunked: DataFrame, out: str,
+                   n_buckets: int, chunk_size: int,
+                   files_per_bucket: int) -> DataFrame:
+    """Write the chunked+bucketed work list ONCE under
+    out/staging/data/bucket=<b>/, or reuse a finished staging from a
+    previous (killed) run when its params match; returns a DataFrame over
+    the staged files whose scans PRUNE to the requested buckets.
+
+    The write rebalances on (bucket, salt) so each bucket directory gets
+    ~files_per_bucket files — bounded file counts (not tasks x dirs) while
+    keeping enough files per bucket that a small commit group's read still
+    parallelizes across the executor cores. The salt is data-derived
+    (xxhash64), never random: re-staging reproduces identical layout.
+    """
+    sdir, data_dir, marker = _staging_dirs(out)
+    params = {"n_buckets": n_buckets, "chunk_size": chunk_size}
+    existing = _read_small_file(spark, marker)
+    if existing is not None:
+        prev = json.loads(existing)
+        if {k: prev.get(k) for k in params} == params:
+            staged = spark.read.parquet(data_dir)
+            return staged.withColumn("bucket", F.col("bucket").cast("int"))
+        drop_staging(spark, out)  # params changed: stale staging is invalid
+    salt = F.pmod(F.xxhash64(F.col("doc_id"), F.col("chunk_idx"), F.lit(13)),
+                  F.lit(files_per_bucket))
+    (chunked.repartition(F.col("bucket"), salt)
+     .write.mode("overwrite").partitionBy("bucket").parquet(data_dir))
+    _write_small_file(spark, marker, json.dumps(
+        {**params, "files_per_bucket": files_per_bucket, "ts": time.time()}))
+    staged = spark.read.parquet(data_dir)
+    return staged.withColumn("bucket", F.col("bucket").cast("int"))
+
+
 def run_encode_job(
     spark: SparkSession,
     source_df: DataFrame,
@@ -116,6 +207,7 @@ def run_encode_job(
     statistics: str = "page",
     concurrent_commits: int = 1,
     cache_input: bool = False,
+    stage_input: bool | None = None,
 ) -> dict:
     """Encode `source_df` into `out`, resuming past completed buckets.
 
@@ -130,16 +222,21 @@ def run_encode_job(
     commit granularity stops taxing wall-clock. Incompatible with
     `fail_after_buckets` (the kill test needs deterministic ordering).
 
+    `stage_input` (default auto = ON whenever commit granularity makes
+    more than one group and `cache_input` is off) writes the
+    chunked+bucketed work list ONCE under out/staging partitioned by
+    bucket, and every commit group reads only its bucket dirs via
+    partition pruning — the round-4 design's G full source re-scans
+    become 1 scan + 1 write + a 1/G-pruned read per group. Staging is
+    itself resumable (the _STAGED.json marker) and removed after the
+    final bucket commits. Pass False to force the legacy re-scan plan.
+
     `cache_input` persists the chunked+bucketed frame (DISK_ONLY) so the
-    G commit groups read the cache instead of re-scanning the source.
-    Default OFF — measured at the 8M-row rehearsal: for a LOCAL COLUMNAR
-    source, G column-pruned re-scans (~G x source bytes, vectorized
-    reader) beat the cache's serialize-once + G deserializing reads of
-    the row-expanded work list (~2x source bytes per pass, and a
-    memory-first level stalls the encode mappers' Arrow allocations —
-    GC-locker retries observed). Turn it ON when the source is expensive
-    to re-derive: JSON/CSV decode, a remote object store, or an upstream
-    transform pipeline. Returns summary stats for the run.
+    G commit groups read the cache instead of re-scanning the source —
+    the in-session alternative to `stage_input` (which it overrides when
+    explicitly enabled): the persist dies with the session, so a killed
+    run resumes onto G re-scans, while staged files survive the restart.
+    Returns summary stats for the run.
     """
     done = completed_buckets(spark, out)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -154,11 +251,20 @@ def run_encode_job(
     # idempotent write whose manifest rows land only after success
     group = buckets_per_commit or len(pending)
     persisted_input = None
+    staged = False
     if cache_input and group < len(pending):
         from pyspark import StorageLevel
 
         persisted_input = chunked.persist(StorageLevel.DISK_ONLY)
         chunked = persisted_input
+    elif (stage_input if stage_input is not None
+          else group < len(pending)) and group < len(pending):
+        # files per bucket dir sized so ONE commit group's read still
+        # fans out over every core: group buckets x files >= parallelism
+        fpb = max(1, -(-spark.sparkContext.defaultParallelism // group))
+        chunked = _ensure_staged(spark, chunked, out, n_buckets,
+                                 chunk_size, files_per_bucket=fpb)
+        staged = True
     groups = [pending[gi: gi + group] for gi in range(0, len(pending), group)]
     try:
         if concurrent_commits > 1 and len(groups) > 1:
@@ -186,6 +292,10 @@ def run_encode_job(
     finally:
         if persisted_input is not None:
             persisted_input.unpersist()
+    if staged:
+        # every bucket is now committed: the staged work list has served
+        # its purpose (a crash before this point leaves it for the resume)
+        drop_staging(spark, out)
     return summary
 
 

@@ -71,6 +71,74 @@ def test_manifest_lineage_content(spark, seq, tmp_path):
     assert sum(r["n_docs"] for r in mrows) >= seq.select("doc_id").distinct().count()
 
 
+def test_staging_lifecycle(spark, seq, tmp_path):
+    """Commit granularity stages the work list once; the staging survives a
+    kill (so the resume re-reads it instead of re-scanning the source) and
+    is deleted after the final bucket commits."""
+    out = str(tmp_path / "run_staged")
+    sdir, data_dir, marker = pl._staging_dirs(out)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pl.run_encode_job(spark, seq, out, n_buckets=6, chunk_size=512,
+                          buckets_per_commit=2, fail_after_buckets=2)
+    # killed mid-commit: staging is on disk with its marker, partitioned
+    # by bucket so group reads prune
+    assert os.path.exists(marker)
+    params = json.loads(open(marker).read())
+    assert params["n_buckets"] == 6 and params["chunk_size"] == 512
+    assert sorted(d for d in os.listdir(data_dir) if d.startswith("bucket=")) \
+        == [f"bucket={b}" for b in range(6)]
+    marker_mtime = os.path.getmtime(marker)
+    summary = pl.run_encode_job(spark, seq, out, n_buckets=6, chunk_size=512,
+                                buckets_per_commit=2)
+    assert summary["processed_buckets"] == 4
+    # resume REUSED the staging (marker untouched) and then removed it
+    assert not os.path.exists(sdir)
+    res = pl.verify_job(spark, seq, out)
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+    del marker_mtime  # staging is gone; reuse was proven by completion time
+
+
+def test_staging_pruned_read(spark, seq, tmp_path):
+    """A commit group's plan over the staged files must contain a
+    PartitionFilters entry on bucket — the scan reads only the group's
+    directories, not the whole staged work list."""
+    out = str(tmp_path / "run_prune")
+    from pyspark.sql import functions as F
+    chunked = pl.enc.split_skew(seq, 512).withColumn("bucket", pl.bucket_col(4))
+    staged = pl._ensure_staged(spark, chunked, out, 4, 512, files_per_bucket=2)
+    plan = staged.filter(F.col("bucket").isin([1, 3])) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # and the marker round-trips: a second call must not rewrite
+    _, _, marker = pl._staging_dirs(out)
+    m0 = os.path.getmtime(marker)
+    pl._ensure_staged(spark, chunked, out, 4, 512, files_per_bucket=2)
+    assert os.path.getmtime(marker) == m0
+    # changed params invalidate: restaged under the new chunk grid
+    pl._ensure_staged(spark, chunked, out, 4, 256, files_per_bucket=2)
+    assert json.loads(open(marker).read())["chunk_size"] == 256
+    pl.drop_staging(spark, out)
+    assert not os.path.exists(os.path.join(out, "staging"))
+
+
+def test_staged_matches_unstaged(spark, seq, tmp_path):
+    """The staged plan and the legacy re-scan plan commit identical data
+    and manifests (modulo wall/ts)."""
+    a, b = str(tmp_path / "staged"), str(tmp_path / "rescan")
+    pl.run_encode_job(spark, seq, a, n_buckets=6, chunk_size=512,
+                      buckets_per_commit=2)            # staged (auto)
+    pl.run_encode_job(spark, seq, b, n_buckets=6, chunk_size=512,
+                      buckets_per_commit=2, stage_input=False)  # legacy
+    keys = ("bucket", "n_rows", "n_docs", "input_bytes", "output_bytes",
+            "codec_hist", "block_crc")
+    ma = sorted([tuple(r[k] for k in keys)
+                 for r in pl.read_manifest(spark, a).collect()])
+    mb = sorted([tuple(r[k] for k in keys)
+                 for r in pl.read_manifest(spark, b).collect()])
+    assert ma == mb
+    assert pl.verify_job(spark, seq, a)["n_mismatch"] == 0
+
+
 def test_bucket_assignment_deterministic(spark, seq):
     a = seq.withColumn("chunk_idx", F.lit(0)).withColumn("b", pl.bucket_col(16))
     b = seq.repartition(11).withColumn("chunk_idx", F.lit(0)).withColumn("b", pl.bucket_col(16))
