@@ -97,14 +97,32 @@ def build_vocab(docs: DataFrame, num_partitions: int | None = None,
 
 def tokenize_documents(docs: DataFrame, vocab: DataFrame | None = None,
                        vocab_partitions: int | None = None,
-                       est_distinct_words: int | None = None) -> DataFrame:
+                       est_distinct_words: int | None = None,
+                       unk_id: int | None = None) -> DataFrame:
     """documents(doc_id, text, source, ...) -> (doc_id, tokens, n_tok, source).
 
     doc_id is cast to string per the input_hint shape. The vocab
     partition knob (count or Heaps'-law distinct-word estimate — see
     build_vocab) threads through for corpus-scale callers.
+
+    OOV policy for a caller-supplied `vocab` (the realistic corpus-scale
+    shape: tokenize today's data against yesterday's frozen vocabulary):
+    - unk_id=None (default): any word absent from the vocab RAISES at
+      execution with the offending word in the message. A silent drop
+      (the pre-round-5 inner-join behavior) shortened token arrays with
+      no signal — n_tok quietly disagreed with the word count. The raise
+      is lazy like everything else in the plan: it fires when token
+      VALUES are consumed (collect, encode, any expression over
+      `tokens`); Catalyst prunes the check from queries that never read
+      them (row counts, n_tok totals) — those results don't depend on
+      the OOV ids and are computed over the full word count either way.
+    - unk_id=<int>: absent words map to that id (the usual <unk> slot);
+      n_tok keeps counting them.
+    When the vocab is built here from `docs` itself it is complete by
+    construction and the join stays a plain inner broadcast join.
     """
-    if vocab is None:
+    own_vocab = vocab is None
+    if own_vocab:
         vocab = build_vocab(docs, num_partitions=vocab_partitions,
                             est_distinct_words=est_distinct_words)
     exploded = docs.select(
@@ -112,7 +130,22 @@ def tokenize_documents(docs: DataFrame, vocab: DataFrame | None = None,
         "source",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
     )
-    with_ids = exploded.join(F.broadcast(vocab), "word")
+    if own_vocab:
+        with_ids = exploded.join(F.broadcast(vocab), "word")
+    else:
+        joined = exploded.join(F.broadcast(vocab), "word", "left")
+        if unk_id is not None:
+            resolved = F.coalesce(F.col("token_id"), F.lit(int(unk_id)))
+        else:
+            # raise_error rides the null branch only; the message carries
+            # the word so the failure is actionable, and building it from
+            # the column keeps the expression non-foldable
+            resolved = F.when(
+                F.col("token_id").isNotNull(), F.col("token_id")
+            ).otherwise(F.raise_error(F.concat(
+                F.lit("tokenize_documents: word not in vocab (pass "
+                      "unk_id= for an OOV slot): "), F.col("word"))))
+        with_ids = joined.withColumn("token_id", resolved.cast("int"))
     seqs = (
         with_ids.groupBy("doc_id", "source")
         .agg(
