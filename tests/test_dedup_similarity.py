@@ -281,3 +281,34 @@ def test_exact_dedup_null_texts_dedup_together(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r["doc_id"] for r in dedup.exact_dedup(d).collect()}
     assert kept == {1, 3}
+
+
+def test_null_embedding_raises_both_paths(spark):
+    """NULL-embedding contract (round-5): the literal projection path and
+    the mapInArrow kernel path both RAISE — the literal path used to hash
+    NULLs silently to the all-zero bucket while the kernel crashed, so the
+    same corpus worked or died depending on n_planes*dim."""
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [0.5, 0.1, 0.9, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # literal path: 4 planes x 4 dims << LITERAL_PROJECTION_MAX
+    lit_b = similarity.signbit_buckets(df, dim=4, n_planes=4, bands=2)
+    with pytest.raises(Exception, match="NULL embedding"):
+        lit_b.collect()
+    # kernel path: force it by dropping the threshold
+    orig = similarity.LITERAL_PROJECTION_MAX
+    similarity.LITERAL_PROJECTION_MAX = 1
+    try:
+        ker_b = similarity.signbit_buckets(df, dim=4, n_planes=4, bands=2)
+        with pytest.raises(Exception, match="NULL embedding"):
+            ker_b.collect()
+    finally:
+        similarity.LITERAL_PROJECTION_MAX = orig
+    # IVF literal cell assignment under the same contract
+    import numpy as np
+    C = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    with pytest.raises(Exception, match="NULL embedding"):
+        similarity.ivf_topk(df, df.filter("vec_id=1"), dim=4,
+                            n_centroids=2, nprobe=1, centroids=C).collect()
+    # clean frames still work on both paths
+    ok = df.filter("embedding is not null")
+    assert similarity.signbit_buckets(ok, dim=4, n_planes=4, bands=2).count() == 4
