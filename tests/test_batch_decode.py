@@ -144,3 +144,31 @@ def test_batch_decode_rejects_undecodable_input():
     with pytest.raises(ValueError, match="unknown codec"):
         bd.decode_binary_array(pa.array(
             [kernels.encode_bss(np.array([1.0]))], type=pa.binary()))
+
+
+def test_fsst_group_rejects_mixed_round_cohort():
+    """_decode_fsst_group's cohort contract (round-5): mixed round counts
+    must be rejected loudly — decode_binary_array groups rows by round
+    count before calling, and the mixed-round merged-arena handling was
+    deleted as dead code."""
+    import numpy as np
+    import pytest
+
+    from parquet_playground_rs_spark.functions import batch_decode, kernels
+
+    rng = np.random.default_rng(5)
+    # few distinct symbols + long rows => multi-round FSST; short row with
+    # fewer rounds to force a mixed cohort
+    deep = rng.integers(0, 4, 3000).astype(np.int32)
+    shallow = rng.integers(0, 4, 40).astype(np.int32)
+    blobs = [kernels.encode_fsst(deep), kernels.encode_fsst(shallow)]
+    d = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    starts = np.array([0, len(blobs[0])], dtype=np.int64)
+    rounds = {int(d[s + 9]) for s in starts}
+    if len(rounds) < 2:
+        pytest.skip("corpus did not produce distinct round counts")
+    with pytest.raises(AssertionError, match="uniform same-round-count"):
+        batch_decode._decode_fsst_group(d, starts)
+    # each uniform singleton still decodes exactly
+    out0 = batch_decode._decode_fsst_group(d, starts[:1])
+    assert np.array_equal(out0, deep)
