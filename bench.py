@@ -432,6 +432,56 @@ def main() -> None:
         extra["minhash_shuffle_read_bytes"] = int(rd1 - rd0)
         extra["minhash_shuffle_write_bytes"] = int(wr1 - wr0)
 
+    # ---- IVF index contrast (extras): float unit-vector index vs the
+    # round-5 product-quantized index over the sf embeddings — index
+    # bytes on disk and the bytes a query batch actually scans (the sum
+    # of its PRUNED cell partitions), plus the timed query. The scan
+    # ratio is the at-scale story: PQ cells store m code bytes per row
+    # instead of 8*dim float64 bytes.
+    from parquet_playground_rs_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    ivf_f = os.path.join(CACHE, f"ivf_float_{sf_name()}")
+    ivf_q = os.path.join(CACHE, f"ivf_pq_{sf_name()}")
+    for p in (ivf_f, ivf_q):
+        shutil.rmtree(p, ignore_errors=True)
+    sim.write_ivf_index(emb, dim, ivf_f, n_centroids=16)
+    sim.write_ivf_pq_index(emb, dim, ivf_q, n_centroids=16, m=8)
+
+    def dir_bytes(p):
+        return sum(f.stat().st_size for f in Path(p).rglob("*.parquet"))
+
+    def probed_bytes(p, probed):
+        return sum(dir_bytes(os.path.join(p, "cells", f"cell={c}"))
+                   for c in probed)
+
+    qset = emb.orderBy("vec_id").limit(20)
+    calibrate("q_ivf_pq")
+    t0 = time.time()
+    pq_res = sim.ivf_pq_query(qset, emb, dim, ivf_q, k=5, nprobe=6,
+                              refine=8)
+    n_pq = pq_res.count()
+    extra["q_ivf_pq_query_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_f = sim.ivf_query(qset, dim, ivf_f, k=5, nprobe=6).count()
+    extra["q_ivf_float_query_sec"] = round(time.time() - t0, 3)
+    # probed set for this query batch (bounded by n_centroids)
+    C = sim.read_ivf_centroids(spark, ivf_q)
+    from pyspark.sql import Window as _W  # noqa: F401  (window in sim)
+    probed = sorted({c for r in sim.with_unit_vectors(qset)
+                     .select("unit").collect()
+                     for c in (np.argsort(-(np.array(r["unit"]) @ C.T
+                                            - (C * C).sum(1) / 2))[:6] + 1)})
+    extra["ivf_float_index_bytes"] = dir_bytes(os.path.join(ivf_f, "cells"))
+    extra["ivf_pq_index_bytes"] = dir_bytes(os.path.join(ivf_q, "cells"))
+    extra["ivf_float_query_scan_bytes"] = probed_bytes(ivf_f, probed)
+    extra["ivf_pq_query_scan_bytes"] = probed_bytes(ivf_q, probed)
+    extra["ivf_pq_result_rows"] = int(n_pq)
+    extra["ivf_float_result_rows"] = int(n_f)
+    for p in (ivf_f, ivf_q):
+        shutil.rmtree(p, ignore_errors=True)
+
     # ---- host-noise indices over every interleaved calibration probe.
     # host_noise_index (max/min): flags ANY excursion; ~1.0-1.5 = quiet.
     # host_noise_index_trimmed (p90/median): outlier-robust — a single

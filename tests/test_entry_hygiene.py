@@ -18,6 +18,7 @@ SF = "/root/testdata/sf0.001"
 TEMP_QUERIES = [
     "dedup_apply_prehashed",
     "ivf_index_topk",
+    "ivf_pq_topk",
     "streaming_sessions_equiv",
     "streaming_sessions_multibatch",
     "streaming_incremental_encode",
