@@ -352,11 +352,14 @@ def main() -> None:
     docs_seq.unpersist()
 
     # ---- resumable-pipeline rehearsal (extras): the north rule's own
-    # resume requirement, bench-disciplined (round-4 judge ask). One
-    # manifest-committed run over the SAME sequences input (64 buckets,
-    # 8 per commit), then a kill at 24 buckets + resume on a fresh dir:
-    # reports manifest/commit overhead vs the plain write_encoded path
-    # (q_encode above) and the resume-skip savings.
+    # resume requirement, bench-disciplined. Round 5 moved the measured
+    # configuration to FILE-SCOPE commits (run_encode_job_files): the
+    # resume unit is a group of input files, each commit group reads
+    # only its own files, so the commit-granularity overhead is job
+    # scheduling + sink commits, not re-scans or staging
+    # (BENCH/BASELINE.md round-5 decomposition). One manifest-committed
+    # run over the SAME cached sequences files (64 buckets, 8 per
+    # commit), then a kill at 24 buckets + resume on a fresh dir.
     import shutil
 
     from parquet_playground_rs_spark.plans import pipeline as pl
@@ -365,26 +368,31 @@ def main() -> None:
     shutil.rmtree(pipe_dir, ignore_errors=True)
     calibrate("q_pipeline_encode")
     t0 = time.time()
-    s_full = pl.run_encode_job(spark, seq, pipe_dir, n_buckets=64,
-                               chunk_size=enc.DEFAULT_CHUNK,
-                               buckets_per_commit=8, concurrent_commits=4)
+    s_full = pl.run_encode_job_files(
+        spark, seq_path, pipe_dir, n_buckets=64,
+        chunk_size=enc.DEFAULT_CHUNK,
+        buckets_per_commit=8, concurrent_commits=4)
     extra["q_pipeline_encode_sec"] = round(time.time() - t0, 3)
     extra["pipeline_overhead_vs_plain"] = round(
         extra["q_pipeline_encode_sec"] / timings["q_encode"], 3)
+    extra["pipeline_mode"] = "file-scope commits"
     extra["pipeline_buckets"] = int(s_full["processed_buckets"])
     pipe_dir2 = pipe_dir + "_resume"
     shutil.rmtree(pipe_dir2, ignore_errors=True)
     try:
-        pl.run_encode_job(spark, seq, pipe_dir2, n_buckets=64,
-                          chunk_size=enc.DEFAULT_CHUNK,
-                          buckets_per_commit=8, fail_after_buckets=24)
+        pl.run_encode_job_files(spark, seq_path, pipe_dir2, n_buckets=64,
+                                chunk_size=enc.DEFAULT_CHUNK,
+                                buckets_per_commit=8,
+                                fail_after_buckets=24)
     except RuntimeError:
         pass  # injected kill after 3 commit groups
     calibrate("q_pipeline_resume")
     t0 = time.time()
-    s_res = pl.run_encode_job(spark, seq, pipe_dir2, n_buckets=64,
-                              chunk_size=enc.DEFAULT_CHUNK,
-                              buckets_per_commit=8, concurrent_commits=4)
+    s_res = pl.run_encode_job_files(spark, seq_path, pipe_dir2,
+                                    n_buckets=64,
+                                    chunk_size=enc.DEFAULT_CHUNK,
+                                    buckets_per_commit=8,
+                                    concurrent_commits=4)
     extra["q_pipeline_resume_sec"] = round(time.time() - t0, 3)
     extra["pipeline_resume_skipped_buckets"] = int(s_res["resumed_buckets"])
     extra["pipeline_resume_processed_buckets"] = int(
@@ -481,6 +489,31 @@ def main() -> None:
     extra["ivf_float_result_rows"] = int(n_f)
     for p in (ivf_f, ivf_q):
         shutil.rmtree(p, ignore_errors=True)
+
+    # ---- streaming sessionizer state-scale extra (round-5): drain a
+    # deterministic rotating-window stream one file per trigger and
+    # report the state store's row curve — the claim under test is
+    # O(open users), not O(events): max_state_rows stays at the
+    # live-tail bound (~3/8 of users here) no matter how many events
+    # pass through. Full-width evidence (1M users / 8M events) lives in
+    # BENCH/CEILING.md via scripts/streaming_state_scale.py; this is
+    # the per-round regression canary at bench scale.
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    from streaming_state_scale import run_state_scale
+
+    calibrate("q_streaming_state")
+    t0 = time.time()
+    ss = run_state_scale(spark, n_users=32_000, n_events=256_000,
+                         n_slots=8)
+    extra["q_streaming_sessions_state_sec"] = round(time.time() - t0, 3)
+    extra["streaming_state_users"] = ss["n_users"]
+    extra["streaming_state_events"] = ss["n_events"]
+    extra["streaming_state_max_rows"] = ss["max_state_rows"]
+    extra["streaming_state_rows_over_users"] = ss["state_rows_over_users"]
+    extra["streaming_state_events_per_sec"] = ss["events_per_sec"]
+    extra["streaming_state_closed_sessions"] = ss["closed_sessions"]
+    extra["streaming_state_mem_bytes_max"] = max(
+        (b["state_mem_bytes"] or 0) for b in ss["batches"])
 
     # ---- host-noise indices over every interleaved calibration probe.
     # host_noise_index (max/min): flags ANY excursion; ~1.0-1.5 = quiet.

@@ -271,7 +271,8 @@ def write_encoded_bucketed(df: DataFrame, table: str, path: str,
     w.saveAsTable(table)
 
 
-def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
+def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK,
+               passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Chunk long-tail documents JVM-side; output one row per chunk.
 
     Single scan: a filter-union formulation reads the input twice (measured
@@ -279,6 +280,10 @@ def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
     goes through one conditional posexplode — short rows (the overwhelming
     majority) explode a 1-element array (one JVM-side copy, no slicing) and
     keep chunk_idx=0, n_chunks=1.
+
+    `passthrough` names extra columns to carry through unchanged (each
+    chunk row repeats its document's value) — e.g. the file-scope
+    pipeline's bucket column.
     """
     # NULL n_tok would otherwise flow through when()'s otherwise-branch with
     # greatest(1, NULL)=1 and reach the Arrow encoder with possibly-NULL
@@ -295,10 +300,13 @@ def split_skew(df: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
             lambda c: F.slice(F.col("tokens"), c * chunk_size + 1, chunk_size),
         )
     )
+    extra = list(passthrough)
     return (
         df.select("doc_id", "source", n_chunks.alias("n_chunks"),
+                  *extra,
                   F.posexplode(chunks).alias("chunk_idx", "tokens"))
-        .select("doc_id", "source", "chunk_idx", "n_chunks", "tokens")
+        .select("doc_id", "source", "chunk_idx", "n_chunks", *extra,
+                "tokens")
     )
 
 

@@ -13,16 +13,21 @@ restartable runs with per-partition lineage. Design:
   and appends one manifest JSON line under ``out/manifest/`` with lineage:
   row count, input/output bytes, per-codec histogram, checksum.
 - Resume = read manifest, anti-join pending buckets, process only those.
-- When commit granularity splits the work into G > 1 groups, the
-  chunked+bucketed work list is **staged once** under
-  ``out/staging/data/bucket=<b>/`` (a single source scan + one raw-bytes
-  shuffle) and every commit group reads ONLY its bucket directories via
-  partition pruning — G column-pruned re-scans of the source (round-4's
-  2.35x-overhead design) become one scan + one re-read of 1/G each. The
-  ``_STAGED.json`` marker makes the staging pass itself resumable and
-  records the params it was built with; staging is deleted after the
-  last bucket commits. At 100 TB from an object store this is the
-  difference between paying the corpus scan once and paying it G times.
+- Commit granularity (G > 1 groups) has three input strategies, chosen
+  by MEASUREMENT at the 8M-row rehearsal (BENCH/BASELINE.md round 5):
+  * **file-scope commits** (`run_encode_job_files`) — the resume unit
+    is a group of input files; each commit group reads ONLY its own
+    files, so total I/O equals the plain encode's. This is the 100-TB
+    default and the only strategy that meets the <=1.3x overhead bar.
+  * **re-scan** (default here) — each group re-scans the column-pruned
+    source and filters to its hash buckets: 2.35x plain at 8M rows.
+  * **staging** (`stage_input=True`) — materialize the chunked work
+    list once under ``out/staging/data/bucket=<b>/``; group reads
+    partition-prune. Wins only when re-deriving the source is
+    expensive (remote store, JSON decode): the raw-token
+    materialization itself costs ~6x the encode at 8M rows. The
+    ``_STAGED.json`` marker makes staging resumable; it is deleted
+    after the last bucket commits.
 
 At cluster scale each "bucket commit" is one dynamic-partition-overwrite
 write; buckets are the engine's unit of progress and audit, mirroring what
@@ -45,7 +50,7 @@ from ..operators import encode as enc
 MANIFEST_SCHEMA = (
     "bucket int, status string, n_rows bigint, n_docs bigint, "
     "input_bytes bigint, output_bytes bigint, codec_hist string, "
-    "block_crc bigint, wall_sec double, ts double"
+    "block_crc bigint, wall_sec double, ts double, files string"
 )
 
 
@@ -188,8 +193,13 @@ def _ensure_staged(spark: SparkSession, chunked: DataFrame, out: str,
         drop_staging(spark, out)  # params changed: stale staging is invalid
     salt = F.pmod(F.xxhash64(F.col("doc_id"), F.col("chunk_idx"), F.lit(13)),
                   F.lit(files_per_bucket))
+    # snappy, not the session's zstd: staging is write-once scratch that
+    # every commit group re-reads — cheap compression wins on both the
+    # write CPU and the read stability (32 concurrent zstd readers
+    # showed 5x variance; the same reasoning as bench.py's input cache)
     (chunked.repartition(F.col("bucket"), salt)
-     .write.mode("overwrite").partitionBy("bucket").parquet(data_dir))
+     .write.mode("overwrite").option("compression", "snappy")
+     .partitionBy("bucket").parquet(data_dir))
     _write_small_file(spark, marker, json.dumps(
         {**params, "files_per_bucket": files_per_bucket, "ts": time.time()}))
     staged = spark.read.parquet(data_dir)
@@ -207,7 +217,7 @@ def run_encode_job(
     statistics: str = "page",
     concurrent_commits: int = 1,
     cache_input: bool = False,
-    stage_input: bool | None = None,
+    stage_input: bool = False,
 ) -> dict:
     """Encode `source_df` into `out`, resuming past completed buckets.
 
@@ -222,14 +232,22 @@ def run_encode_job(
     commit granularity stops taxing wall-clock. Incompatible with
     `fail_after_buckets` (the kill test needs deterministic ordering).
 
-    `stage_input` (default auto = ON whenever commit granularity makes
-    more than one group and `cache_input` is off) writes the
-    chunked+bucketed work list ONCE under out/staging partitioned by
-    bucket, and every commit group reads only its bucket dirs via
-    partition pruning — the round-4 design's G full source re-scans
+    `stage_input=True` writes the chunked+bucketed work list ONCE under
+    out/staging partitioned by bucket, and every commit group reads only
+    its bucket dirs via partition pruning — G full source re-scans
     become 1 scan + 1 write + a 1/G-pruned read per group. Staging is
     itself resumable (the _STAGED.json marker) and removed after the
-    final bucket commits. Pass False to force the legacy re-scan plan.
+    final bucket commits. Default OFF — measured at the 8M-row
+    rehearsal (BENCH/BASELINE.md round 5): for a LOCAL columnar source
+    the staging materialization (raw-token shuffle + parquet write,
+    109.8 s) costs ~6x the encode itself (18.8 s), so G column-pruned
+    re-scans (2.35x plain) beat it; at sf0.1 the ordering flips
+    (staging 1.07x vs re-scan 3.6x) because the staged frame is
+    page-cache-sized. Turn staging ON when the source is expensive to
+    re-derive (JSON/CSV decode, remote object store, upstream
+    transforms). When the resume unit can be the input FILE GROUP,
+    prefer `run_encode_job_files` below — it needs neither staging nor
+    re-scans and meets the <=1.3x commit-overhead bar.
 
     `cache_input` persists the chunked+bucketed frame (DISK_ONLY) so the
     G commit groups read the cache instead of re-scanning the source —
@@ -257,8 +275,7 @@ def run_encode_job(
 
         persisted_input = chunked.persist(StorageLevel.DISK_ONLY)
         chunked = persisted_input
-    elif (stage_input if stage_input is not None
-          else group < len(pending)) and group < len(pending):
+    elif bool(stage_input) and group < len(pending):
         # files per bucket dir sized so ONE commit group's read still
         # fans out over every core: group buckets x files >= parallelism
         fpb = max(1, -(-spark.sparkContext.defaultParallelism // group))
@@ -395,6 +412,223 @@ def _encode_with_bucket(chunked_with_bucket: DataFrame) -> DataFrame:
             )
 
     return chunked_with_bucket.mapInArrow(mapper, enc.ENCODED_DDL + ", bucket int")
+
+
+# ---------------------------------------------------------------------------
+# File-scope commits: the resume unit is a group of INPUT FILES
+# ---------------------------------------------------------------------------
+#
+# Round-5 finding (BENCH/BASELINE.md): with data-hash buckets, commit
+# granularity must either re-scan the source per group (2.35x plain at 8M
+# rows) or materialize the chunked raw tokens once (staging — measured
+# 8.2x: the encode runs at 165M tok/s, so ONE extra materialization of
+# its 12.4 GB input costs ~6x the encode itself). The design that meets
+# the <=1.3x bar keys the resume unit by INPUT FILE GROUP instead: each
+# commit group reads ONLY its own files (file-list pruning — no second
+# scan of anything), encodes them, and commits. This is also the
+# Iceberg-native shape — the table's file manifest IS the work catalog,
+# and it is how incremental encode jobs actually checkpoint at 100 TB.
+# The hash-bucket mode above remains for when data-defined buckets
+# matter (e.g. downstream bucket joins); its costs are documented.
+
+def plan_file_buckets(spark: SparkSession, input_path: str,
+                      n_buckets: int) -> dict[int, list[str]]:
+    """Deterministic file->bucket assignment: name-sorted round-robin.
+
+    Depends only on the input file catalog, so a restart reproduces it at
+    any parallelism. Parquet part files of one table are near-uniform in
+    size, so round-robin balances groups; a pathological catalog (one
+    giant file) is bounded by Spark's own split-by-maxPartitionBytes
+    WITHIN the group, not across groups."""
+    files = sorted(spark.read.parquet(input_path).inputFiles())
+    n_buckets = min(n_buckets, max(1, len(files)))
+    return {b: files[b::n_buckets] for b in range(n_buckets)}
+
+
+def _catalog_fingerprint(buckets: dict[int, list[str]]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for b in sorted(buckets):
+        for f in buckets[b]:
+            h.update(f"{b}|{f}\n".encode())
+    return h.hexdigest()
+
+
+def run_encode_job_files(
+    spark: SparkSession,
+    input_path: str,
+    out: str,
+    n_buckets: int = 8,
+    chunk_size: int = enc.DEFAULT_CHUNK,
+    buckets_per_commit: int | None = None,
+    fail_after_buckets: int | None = None,
+    statistics: str = "page",
+    concurrent_commits: int = 1,
+) -> dict:
+    """Resumable encode with file-scope commits: bucket b owns a fixed
+    group of input files; each commit group reads ONLY its files,
+    encodes, writes ``out/data/source=<s>/bucket=<b>/`` and appends the
+    manifest rows — total I/O equals the plain encode's plus per-group
+    job overhead (measured <=1.3x at the 8M-row rehearsal). Resume skips
+    completed buckets, so their files are never read again — true
+    incremental checkpointing of the ENCODE work itself.
+
+    The manifest additionally records each bucket's file list (lineage:
+    which inputs produced which output partition). A job-level catalog
+    fingerprint guards resumes: if the input file set changed since the
+    first attempt, the run fails loudly instead of silently committing a
+    mixed assignment."""
+    buckets = plan_file_buckets(spark, input_path, n_buckets)
+    fp = _catalog_fingerprint(buckets)
+    fp_path = os.path.join(out, "catalog_fingerprint.json")
+    prev = _read_small_file(spark, fp_path)
+    if prev is not None:
+        stored = json.loads(prev)
+        if stored.get("fingerprint") != fp:
+            raise RuntimeError(
+                "input catalog changed since this job started: refusing "
+                "to resume onto a different file->bucket assignment "
+                f"(was {stored.get('fingerprint', '?')[:12]}, now "
+                f"{fp[:12]}); start a fresh output dir")
+    else:
+        _write_small_file(spark, fp_path, json.dumps(
+            {"fingerprint": fp, "n_buckets": len(buckets),
+             "n_files": sum(len(v) for v in buckets.values()),
+             "ts": time.time()}))
+    done = completed_buckets(spark, out)
+    pending = [b for b in sorted(buckets) if b not in done]
+    summary = {"resumed_buckets": len(done), "processed_buckets": 0,
+               "n_rows": 0, "input_bytes": 0, "output_bytes": 0}
+    if not pending:
+        return summary
+    group = buckets_per_commit or len(pending)
+    groups = [pending[gi: gi + group] for gi in range(0, len(pending), group)]
+    if concurrent_commits > 1 and len(groups) > 1:
+        if fail_after_buckets is not None:
+            raise ValueError(
+                "fail_after_buckets needs deterministic group order; "
+                "use concurrent_commits=1")
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        lock = threading.Lock()
+        with ThreadPoolExecutor(max_workers=concurrent_commits) as ex:
+            futs = [ex.submit(_process_file_commit_group, spark, buckets,
+                              batch, out, chunk_size, statistics, summary,
+                              lock)
+                    for batch in groups]
+            for f in futs:
+                f.result()
+    else:
+        for batch in groups:
+            if fail_after_buckets is not None and \
+                    summary["processed_buckets"] >= fail_after_buckets:
+                raise RuntimeError("injected failure for resume test")
+            _process_file_commit_group(spark, buckets, batch, out,
+                                       chunk_size, statistics, summary,
+                                       None)
+    return summary
+
+
+def _process_file_commit_group(spark, buckets, batch_buckets, out,
+                               chunk_size, statistics, summary,
+                               lock) -> None:
+    """One commit group of file-scope buckets: scan ONLY the group's
+    files, encode, write, manifest.
+
+    Cost discipline (what makes file mode meet the <=1.3x bar where the
+    hash-bucket machinery measured 2x+ at 8M rows):
+    - manifest stats ride the WRITE job itself via an Observation
+      (conditional per-bucket aggregates evaluated as rows stream to
+      the sink) — no persist of the encoded frame, no second pass;
+    - n_docs counts chunk_idx==0 rows, which is EXACT here (a doc's
+      chunks all live in one file, hence one bucket) and avoids the
+      countDistinct shuffle;
+    - output lands in an Iceberg-snapshot-shaped layout
+      ``out/data/commit=<group>/source=<s>/``: a STATIC overwrite of
+      the group's own commit dir is idempotent on retry (no dynamic
+      partition overwrite, no other group's data at risk), and the dir
+      count per group is n_sources, not n_sources x n_buckets — the
+      (source,bucket) dynamic-overwrite layout measured 1280 dirs /
+      +70% wall at the 8M-row rehearsal purely in sink overhead. A
+      cheap repartition of the ENCODED blocks (compressed, ~0.25x
+      input) bounds files to one per source dir per commit."""
+    from pyspark.sql import Observation
+
+    from ..functions.kernels import CODEC_IDS
+
+    t0 = time.time()
+    codec_names = sorted(CODEC_IDS)
+    group_files = {b: buckets[b] for b in batch_buckets if buckets[b]}
+    metrics: dict = {}
+    wall = 0.0
+    if group_files:
+        # one scan per bucket with its bucket id as a LITERAL, unioned:
+        # every file is read exactly once, no file-name matching (URI
+        # normalization between inputFiles() and input_file_name() is
+        # not a contract worth betting data integrity on), and the group
+        # holds at most buckets_per_commit scans
+        tagged = None
+        for b, fs in group_files.items():
+            part = spark.read.parquet(*fs).withColumn(
+                "bucket", F.lit(b).cast("int"))
+            tagged = part if tagged is None else tagged.unionByName(part)
+        chunked = enc.split_skew(tagged, chunk_size,
+                                 passthrough=("bucket",))
+        encoded = _encode_with_bucket(chunked)
+        aggs = []
+        for b in group_files:
+            c = F.col("bucket") == b
+            aggs += [
+                F.sum(F.when(c, 1).otherwise(0)).alias(f"n_rows_{b}"),
+                F.sum(F.when(c & (F.col("chunk_idx") == 0), 1)
+                      .otherwise(0)).alias(f"n_docs_{b}"),
+                F.sum(F.when(c, F.col("meta.input_bytes")).otherwise(0))
+                .alias(f"in_bytes_{b}"),
+                F.sum(F.when(c, F.col("meta.output_bytes")).otherwise(0))
+                .alias(f"out_bytes_{b}"),
+                F.sum(F.when(c, F.crc32(F.col("block"))).otherwise(0))
+                .alias(f"crc_{b}"),
+            ]
+            aggs += [
+                F.sum(F.when(c & (F.col("codec") == cn), 1).otherwise(0))
+                .alias(f"codec_{b}_{cn}") for cn in codec_names
+            ]
+        obs = Observation(f"commit-{batch_buckets[0]}")
+        commit_dir = os.path.join(out, "data",
+                                  f"commit={batch_buckets[0]:05d}")
+        enc.write_encoded(
+            encoded.observe(obs, *aggs).repartition(F.col("source")),
+            commit_dir,
+            partition_by=["source"],
+            statistics=statistics,
+        )
+        wall = time.time() - t0
+        metrics = obs.get
+    for b in batch_buckets:
+        got = b in group_files
+        hist = {cn: int(metrics[f"codec_{b}_{cn}"]) for cn in codec_names
+                if got and int(metrics[f"codec_{b}_{cn}"])}
+        row = {
+            "bucket": b,
+            "status": "done",
+            "n_rows": int(metrics[f"n_rows_{b}"]) if got else 0,
+            "n_docs": int(metrics[f"n_docs_{b}"]) if got else 0,
+            "input_bytes": int(metrics[f"in_bytes_{b}"]) if got else 0,
+            "output_bytes": int(metrics[f"out_bytes_{b}"]) if got else 0,
+            "codec_hist": json.dumps(hist),
+            "block_crc": int(metrics[f"crc_{b}"]) if got else 0,
+            "wall_sec": wall / max(len(batch_buckets), 1),
+            "ts": time.time(),
+            "files": json.dumps(buckets.get(b, [])),
+        }
+        _write_manifest_row(spark, out, row)
+        if lock is not None:
+            with lock:
+                _tally(summary, row)
+        else:
+            _tally(summary, row)
 
 
 def read_encoded(spark: SparkSession, out: str) -> DataFrame:

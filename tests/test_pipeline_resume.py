@@ -79,7 +79,8 @@ def test_staging_lifecycle(spark, seq, tmp_path):
     sdir, data_dir, marker = pl._staging_dirs(out)
     with pytest.raises(RuntimeError, match="injected failure"):
         pl.run_encode_job(spark, seq, out, n_buckets=6, chunk_size=512,
-                          buckets_per_commit=2, fail_after_buckets=2)
+                          buckets_per_commit=2, fail_after_buckets=2,
+                          stage_input=True)
     # killed mid-commit: staging is on disk with its marker, partitioned
     # by bucket so group reads prune
     assert os.path.exists(marker)
@@ -89,7 +90,7 @@ def test_staging_lifecycle(spark, seq, tmp_path):
         == [f"bucket={b}" for b in range(6)]
     marker_mtime = os.path.getmtime(marker)
     summary = pl.run_encode_job(spark, seq, out, n_buckets=6, chunk_size=512,
-                                buckets_per_commit=2)
+                                buckets_per_commit=2, stage_input=True)
     assert summary["processed_buckets"] == 4
     # resume REUSED the staging (marker untouched) and then removed it
     assert not os.path.exists(sdir)
@@ -126,9 +127,9 @@ def test_staged_matches_unstaged(spark, seq, tmp_path):
     and manifests (modulo wall/ts)."""
     a, b = str(tmp_path / "staged"), str(tmp_path / "rescan")
     pl.run_encode_job(spark, seq, a, n_buckets=6, chunk_size=512,
-                      buckets_per_commit=2)            # staged (auto)
+                      buckets_per_commit=2, stage_input=True)
     pl.run_encode_job(spark, seq, b, n_buckets=6, chunk_size=512,
-                      buckets_per_commit=2, stage_input=False)  # legacy
+                      buckets_per_commit=2)            # default re-scan
     keys = ("bucket", "n_rows", "n_docs", "input_bytes", "output_bytes",
             "codec_hist", "block_crc")
     ma = sorted([tuple(r[k] for k in keys)
@@ -145,3 +146,84 @@ def test_bucket_assignment_deterministic(spark, seq):
     am = {r["doc_id"]: r["b"] for r in a.collect()}
     bm = {r["doc_id"]: r["b"] for r in b.collect()}
     assert am == bm
+
+
+# ---------------------------------------------------------------------------
+# File-scope commits (round 5): resume unit = input file group
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def seq_path(spark, seq, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("src") / "sequences")
+    seq.repartition(12).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_files_full_run_and_verify(spark, seq, seq_path, tmp_path):
+    out = str(tmp_path / "frun1")
+    summary = pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                                      chunk_size=512)
+    assert summary["processed_buckets"] == 6
+    res = pl.verify_job(spark, seq, out)
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+
+
+def test_files_kill_and_resume(spark, seq, seq_path, tmp_path):
+    out = str(tmp_path / "frun2")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                                chunk_size=512, buckets_per_commit=2,
+                                fail_after_buckets=2)
+    assert len(pl.completed_buckets(spark, out)) == 2
+    summary = pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                                      chunk_size=512, buckets_per_commit=2)
+    assert summary["resumed_buckets"] == 2
+    assert summary["processed_buckets"] == 4
+    res = pl.verify_job(spark, seq, out)
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+    # idempotent third run
+    assert pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                                   chunk_size=512)["processed_buckets"] == 0
+
+
+def test_files_manifest_records_file_lineage(spark, seq_path, tmp_path):
+    out = str(tmp_path / "frun3")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=3,
+                            chunk_size=512)
+    buckets = pl.plan_file_buckets(spark, seq_path, 3)
+    mrows = {r["bucket"]: r
+             for r in pl.read_manifest(spark, out).collect()}
+    assert set(mrows) == {0, 1, 2}
+    for b, r in mrows.items():
+        assert json.loads(r["files"]) == buckets[b]
+    # every input file appears in exactly one bucket
+    allf = [f for fs in buckets.values() for f in fs]
+    assert len(allf) == len(set(allf)) == \
+        len(spark.read.parquet(seq_path).inputFiles())
+
+
+def test_files_catalog_change_guard(spark, seq, tmp_path):
+    """A resume against a CHANGED input catalog must fail loudly — a
+    silent re-assignment would commit a mixed file->bucket mapping."""
+    src = str(tmp_path / "src_mutable")
+    seq.repartition(6).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "frun4")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pl.run_encode_job_files(spark, src, out, n_buckets=6,
+                                chunk_size=512, buckets_per_commit=2,
+                                fail_after_buckets=2)
+    # grow the catalog between attempts
+    seq.limit(10).write.mode("append").parquet(src)
+    with pytest.raises(RuntimeError, match="catalog changed"):
+        pl.run_encode_job_files(spark, src, out, n_buckets=6,
+                                chunk_size=512, buckets_per_commit=2)
+
+
+def test_files_matches_hash_bucket_data(spark, seq, seq_path, tmp_path):
+    """File-scope and hash-bucket modes commit the same DATA (decoded
+    equality via verify), just under different resume keys."""
+    out = str(tmp_path / "frun5")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=4,
+                            chunk_size=512, buckets_per_commit=2)
+    res = pl.verify_job(spark, spark.read.parquet(seq_path), out)
+    assert res["n_mismatch"] == 0
