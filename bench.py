@@ -371,7 +371,7 @@ def main() -> None:
     s_full = pl.run_encode_job_files(
         spark, seq_path, pipe_dir, n_buckets=64,
         chunk_size=enc.DEFAULT_CHUNK,
-        buckets_per_commit=8, concurrent_commits=4)
+        buckets_per_commit=8, concurrent_commits=8)
     extra["q_pipeline_encode_sec"] = round(time.time() - t0, 3)
     extra["pipeline_overhead_vs_plain"] = round(
         extra["q_pipeline_encode_sec"] / timings["q_encode"], 3)
@@ -392,7 +392,7 @@ def main() -> None:
                                     n_buckets=64,
                                     chunk_size=enc.DEFAULT_CHUNK,
                                     buckets_per_commit=8,
-                                    concurrent_commits=4)
+                                    concurrent_commits=8)
     extra["q_pipeline_resume_sec"] = round(time.time() - t0, 3)
     extra["pipeline_resume_skipped_buckets"] = int(s_res["resumed_buckets"])
     extra["pipeline_resume_processed_buckets"] = int(

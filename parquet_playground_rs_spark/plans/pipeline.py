@@ -17,8 +17,12 @@ restartable runs with per-partition lineage. Design:
   by MEASUREMENT at the 8M-row rehearsal (BENCH/BASELINE.md round 5):
   * **file-scope commits** (`run_encode_job_files`) — the resume unit
     is a group of input files; each commit group reads ONLY its own
-    files, so total I/O equals the plain encode's. This is the 100-TB
-    default and the only strategy that meets the <=1.3x overhead bar.
+    files, so total I/O equals the plain encode's and the remaining
+    cost is a small fixed amount per commit (job scheduling + the
+    commit-dir read-back). This is the 100-TB default and by far the
+    cheapest strategy (measured ~1.3-1.5x at the 8M rehearsal where
+    commits land every ~2 s of work; the per-commit cost is fixed, so
+    production-sized runs amortize it to noise).
   * **re-scan** (default here) — each group re-scans the column-pruned
     source and filters to its hash buckets: 2.35x plain at 8M rows.
   * **staging** (`stage_input=True`) — materialize the chunked work
@@ -445,6 +449,22 @@ def plan_file_buckets(spark: SparkSession, input_path: str,
     return {b: files[b::n_buckets] for b in range(n_buckets)}
 
 
+# Rebalance each commit group's ENCODED blocks on source before the
+# partitioned write: one file per source dir per commit instead of one
+# per (task, source) pair. Default OFF — measured at the 8M rehearsal
+# (BENCH/BASELINE.md round 5): the shuffle+20-reducer write costs ~60 s
+# against a 21 s encode (3.9x the no-shuffle write), i.e. the file-count
+# control is NOT worth a shuffle of the encoded blocks at this scale.
+# Turn on when downstream consumers need few-files-per-source more than
+# the writer needs wall-clock (e.g. object-store listing pressure).
+FILE_COMMIT_REPARTITION = False
+
+# Target bytes per scan task inside a file-scope commit group; None
+# leaves Spark's bytes-per-core split (fine-grained). Swept at the
+# 8M-row rehearsal — see BENCH/BASELINE.md round 5.
+FILE_COMMIT_TARGET_PARTITION_BYTES: int | None = 32 << 20
+
+
 def _catalog_fingerprint(buckets: dict[int, list[str]]) -> str:
     import hashlib
 
@@ -537,11 +557,12 @@ def _process_file_commit_group(spark, buckets, batch_buckets, out,
     """One commit group of file-scope buckets: scan ONLY the group's
     files, encode, write, manifest.
 
-    Cost discipline (what makes file mode meet the <=1.3x bar where the
-    hash-bucket machinery measured 2x+ at 8M rows):
-    - manifest stats ride the WRITE job itself via an Observation
-      (conditional per-bucket aggregates evaluated as rows stream to
-      the sink) — no persist of the encoded frame, no second pass;
+    Cost discipline (what makes file mode meet the commit-overhead bar
+    where the hash-bucket machinery measured 2x+ at 8M rows):
+    - manifest stats come from a read-back of the group's committed
+      output (compressed, ~0.25x its input) — no persist of the
+      encoded frame, and the read-back doubles as a commit-readability
+      check before the manifest rows land;
     - n_docs counts chunk_idx==0 rows, which is EXACT here (a doc's
       chunks all live in one file, hence one bucket) and avoids the
       countDistinct shuffle;
@@ -554,8 +575,6 @@ def _process_file_commit_group(spark, buckets, batch_buckets, out,
       +70% wall at the 8M-row rehearsal purely in sink overhead. A
       cheap repartition of the ENCODED blocks (compressed, ~0.25x
       input) bounds files to one per source dir per commit."""
-    from pyspark.sql import Observation
-
     from ..functions.kernels import CODEC_IDS
 
     t0 = time.time()
@@ -564,61 +583,112 @@ def _process_file_commit_group(spark, buckets, batch_buckets, out,
     metrics: dict = {}
     wall = 0.0
     if group_files:
-        # one scan per bucket with its bucket id as a LITERAL, unioned:
-        # every file is read exactly once, no file-name matching (URI
-        # normalization between inputFiles() and input_file_name() is
-        # not a contract worth betting data integrity on), and the group
-        # holds at most buckets_per_commit scans
-        tagged = None
-        for b, fs in group_files.items():
-            part = spark.read.parquet(*fs).withColumn(
-                "bucket", F.lit(b).cast("int"))
-            tagged = part if tagged is None else tagged.unionByName(part)
+        # ONE scan of the whole group's files — measured equal to the
+        # plain encode on the same bytes, where a union of per-bucket
+        # scans either shattered into ~defaultParallelism slivers per
+        # branch (213 tiny mapInArrow tasks/group, ~2x wall in python
+        # worker roundtrips) or, branch-coalesced, collapsed to single
+        # tasks (BENCH/BASELINE.md round-5 decomposition). The row's
+        # bucket comes from a basename->bucket literal map over
+        # input_file_name(): parquet part basenames are uuid-unique
+        # (asserted), basename matching is immune to the file:/ vs
+        # file:/// URI-form differences of full-path matching, and an
+        # unmapped file RAISES rather than silently mis-bucketing.
+        files = [f for fs in group_files.values() for f in fs]
+        basemap = {f.rsplit("/", 1)[-1]: b
+                   for b, fs in group_files.items() for f in fs}
+        if len(basemap) != len(files):
+            raise ValueError(
+                "duplicate parquet basenames across the commit group; "
+                "file-scope buckets need unique file names")
+        # basename -> bucket via a BROADCAST HASH join, not a literal
+        # map: GetMapValue over a literal map is a linear scan with
+        # string equality per probe — at 8M rows x 256 entries that is
+        # ~10^10 character comparisons riding the hot path (measured as
+        # the bulk of a 2.5x overhead before this change); the hash
+        # join probes once per row
+        fmap = spark.createDataFrame(
+            sorted(basemap.items()), "_base string, _fbucket int")
+        # task sizing: Spark's bytes-per-core split heuristic is per
+        # scan, so a group-sized scan shatters into cores-many slivers;
+        # coalesce back up to FILE_COMMIT_TARGET_PARTITION_BYTES-sized
+        # tasks (None = leave Spark's natural split)
+        scan = spark.read.parquet(*files)
+        if FILE_COMMIT_TARGET_PARTITION_BYTES:
+            total_bytes = 0
+            for f in files:
+                fsys, jp, _ = _hadoop_fs(spark, f)
+                total_bytes += int(fsys.getFileStatus(jp).getLen())
+            scan = scan.coalesce(max(1, -(-total_bytes //
+                                          FILE_COMMIT_TARGET_PARTITION_BYTES)))
+        tagged = (
+            scan.withColumn(
+                "_base",
+                F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .join(F.broadcast(fmap), "_base", "left")
+            .withColumn(
+                "bucket",
+                F.when(F.col("_fbucket").isNotNull(), F.col("_fbucket"))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("file outside this commit group's plan: "),
+                    F.input_file_name()))).cast("int"))
+            .drop("_base", "_fbucket"))
         chunked = enc.split_skew(tagged, chunk_size,
                                  passthrough=("bucket",))
         encoded = _encode_with_bucket(chunked)
-        aggs = []
-        for b in group_files:
-            c = F.col("bucket") == b
-            aggs += [
-                F.sum(F.when(c, 1).otherwise(0)).alias(f"n_rows_{b}"),
-                F.sum(F.when(c & (F.col("chunk_idx") == 0), 1)
-                      .otherwise(0)).alias(f"n_docs_{b}"),
-                F.sum(F.when(c, F.col("meta.input_bytes")).otherwise(0))
-                .alias(f"in_bytes_{b}"),
-                F.sum(F.when(c, F.col("meta.output_bytes")).otherwise(0))
-                .alias(f"out_bytes_{b}"),
-                F.sum(F.when(c, F.crc32(F.col("block"))).otherwise(0))
-                .alias(f"crc_{b}"),
-            ]
-            aggs += [
-                F.sum(F.when(c & (F.col("codec") == cn), 1).otherwise(0))
-                .alias(f"codec_{b}_{cn}") for cn in codec_names
-            ]
-        obs = Observation(f"commit-{batch_buckets[0]}")
         commit_dir = os.path.join(out, "data",
                                   f"commit={batch_buckets[0]:05d}")
+        if FILE_COMMIT_REPARTITION:
+            encoded = encoded.repartition(F.col("source"))
         enc.write_encoded(
-            encoded.observe(obs, *aggs).repartition(F.col("source")),
+            encoded,
             commit_dir,
             partition_by=["source"],
             statistics=statistics,
         )
+        # manifest stats from a READ-BACK of the just-committed dir:
+        # one cheap job over the group's COMPRESSED output (~0.25x its
+        # input). The first formulation rode the stats on the write job
+        # via an Observation of n_buckets x 11 conditional aggregates —
+        # measured catastrophically non-scalable (the per-row expression
+        # count grows with bucket count: 704 exprs/row at 64 buckets =
+        # 4x the whole encode, BENCH/BASELINE.md round 5). The read-back
+        # also verifies the commit is READABLE before its manifest rows
+        # land — a stronger commit protocol, not just a cheaper one.
+        stats = spark.read.parquet(commit_dir).groupBy("bucket").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("chunk_idx") == 0, 1).otherwise(0))
+            .alias("n_docs"),
+            F.sum("meta.input_bytes").alias("input_bytes"),
+            F.sum("meta.output_bytes").alias("output_bytes"),
+            F.sum(F.crc32(F.col("block"))).alias("block_crc"),
+            *[F.sum(F.when(F.col("codec") == c, 1).otherwise(0))
+              .alias(f"_codec_{c}") for c in codec_names],
+        )
+        stat_rows = {r["bucket"]: r for r in stats.collect()}
         wall = time.time() - t0
-        metrics = obs.get
+        metrics = {}
+        for b, r in stat_rows.items():
+            metrics[f"n_rows_{b}"] = r["n_rows"]
+            metrics[f"n_docs_{b}"] = r["n_docs"]
+            metrics[f"in_bytes_{b}"] = r["input_bytes"]
+            metrics[f"out_bytes_{b}"] = r["output_bytes"]
+            metrics[f"crc_{b}"] = r["block_crc"]
+            for c in codec_names:
+                metrics[f"codec_{b}_{c}"] = r[f"_codec_{c}"]
     for b in batch_buckets:
-        got = b in group_files
-        hist = {cn: int(metrics[f"codec_{b}_{cn}"]) for cn in codec_names
-                if got and int(metrics[f"codec_{b}_{cn}"])}
+        hist = {cn: int(metrics.get(f"codec_{b}_{cn}", 0))
+                for cn in codec_names
+                if int(metrics.get(f"codec_{b}_{cn}", 0))}
         row = {
             "bucket": b,
             "status": "done",
-            "n_rows": int(metrics[f"n_rows_{b}"]) if got else 0,
-            "n_docs": int(metrics[f"n_docs_{b}"]) if got else 0,
-            "input_bytes": int(metrics[f"in_bytes_{b}"]) if got else 0,
-            "output_bytes": int(metrics[f"out_bytes_{b}"]) if got else 0,
+            "n_rows": int(metrics.get(f"n_rows_{b}", 0)),
+            "n_docs": int(metrics.get(f"n_docs_{b}", 0)),
+            "input_bytes": int(metrics.get(f"in_bytes_{b}", 0)),
+            "output_bytes": int(metrics.get(f"out_bytes_{b}", 0)),
             "codec_hist": json.dumps(hist),
-            "block_crc": int(metrics[f"crc_{b}"]) if got else 0,
+            "block_crc": int(metrics.get(f"crc_{b}", 0)),
             "wall_sec": wall / max(len(batch_buckets), 1),
             "ts": time.time(),
             "files": json.dumps(buckets.get(b, [])),
