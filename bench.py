@@ -527,8 +527,18 @@ def main() -> None:
     raw_idx, trimmed_idx, by_query = noise_indices()
     extra["calib_probe_sec"] = [round(t, 4) for t in _CALIB_TIMES]
     extra["calib_gbps"] = [round(0.25 / t, 1) for t in _CALIB_TIMES]
+    # three complementary signals (validated quiet-vs-loaded, round 5):
+    # - trimmed p90/median flags INTRA-RUN instability (mixed windows —
+    #   the dangerous kind for paired comparisons); quiet ~1.1-1.2,
+    #   partially-loaded ~1.9+;
+    # - a UNIFORMLY loaded window looks "stable but slow" to any ratio,
+    #   so the absolute median bandwidth is reported too (quiet host
+    #   reference on this box: ~17-25 GB/s);
+    # - raw max/min flags any excursion (over-sensitive by design).
     extra["host_noise_index"] = round(raw_idx, 2)
     extra["host_noise_index_trimmed"] = round(trimmed_idx, 2)
+    extra["calib_gbps_median"] = round(
+        0.25 / statistics.median(_CALIB_TIMES), 1)
     extra["probe_by_query"] = by_query
 
     spark.stop()
