@@ -38,12 +38,27 @@ def main() -> None:
                     help="overlap N commit groups from driver threads "
                          "(disjoint-partition writes; hides fixed "
                          "per-commit costs)")
+    ap.add_argument("--scope", choices=["files", "hash"], default="files",
+                    help="resume-unit keying. 'files' (default): commit "
+                         "groups of input files — each group reads only "
+                         "its own files, measured 1.14x plain encode at "
+                         "the 8M-row rehearsal. 'hash': data-derived "
+                         "buckets pmod(xxhash64(source,doc_id,chunk), n) "
+                         "— needed only when downstream layout must key "
+                         "on content; costs per-group re-scans (2.35x) "
+                         "or staging (see --stage-input)")
     ap.add_argument("--cache-input", action="store_true",
-                    help="persist the chunked work list (DISK_ONLY) "
-                         "instead of re-scanning the source per commit "
-                         "group; pays off for expensive sources "
-                         "(JSON/object stores), measured 2x SLOWER for "
-                         "local columnar inputs")
+                    help="[hash scope] persist the chunked work list "
+                         "(DISK_ONLY) instead of re-scanning the source "
+                         "per commit group; pays off for expensive "
+                         "sources (JSON/object stores), measured 2x "
+                         "SLOWER for local columnar inputs")
+    ap.add_argument("--stage-input", action="store_true",
+                    help="[hash scope] materialize the chunked work "
+                         "list once under output/staging (resumable); "
+                         "wins only for expensive-to-rederive sources — "
+                         "the materialization alone costs ~6x the "
+                         "encode at the 8M rehearsal")
     ap.add_argument("--verify",
                     choices=["none", "chunks", "checksum", "hash", "exact"],
                     default="chunks",
@@ -65,13 +80,22 @@ def main() -> None:
     # getOrCreate attaches to it (local runs fall back to defaults)
     spark = SparkSession.builder.appName("encode-job").getOrCreate()
     src = spark.read.parquet(args.input)
-    summary = pl.run_encode_job(
-        spark, src, args.output, n_buckets=args.buckets,
-        chunk_size=args.chunk_size,
-        buckets_per_commit=args.buckets_per_commit,
-        statistics=args.statistics,
-        concurrent_commits=args.concurrent_commits,
-        cache_input=args.cache_input)
+    if args.scope == "files":
+        summary = pl.run_encode_job_files(
+            spark, args.input, args.output, n_buckets=args.buckets,
+            chunk_size=args.chunk_size,
+            buckets_per_commit=args.buckets_per_commit,
+            statistics=args.statistics,
+            concurrent_commits=args.concurrent_commits)
+    else:
+        summary = pl.run_encode_job(
+            spark, src, args.output, n_buckets=args.buckets,
+            chunk_size=args.chunk_size,
+            buckets_per_commit=args.buckets_per_commit,
+            statistics=args.statistics,
+            concurrent_commits=args.concurrent_commits,
+            cache_input=args.cache_input,
+            stage_input=args.stage_input)
     if args.verify != "none":
         if args.verify == "chunks":
             row = dec.verify_encoded(src, pl.read_encoded(spark, args.output),
