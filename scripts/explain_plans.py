@@ -293,6 +293,72 @@ def main() -> None:
             else "FAIL")],
     ))
 
+    # 5d. IVF-PQ persisted index (round 5): probed cells reach the scan
+    # as PartitionFilters; candidate scoring is a bounded-plan kernel
+    import shutil as _sh
+    import tempfile as _tf
+
+    pq_path = _tf.mkdtemp(prefix="plans_pq_")
+    try:
+        similarity.write_ivf_pq_index(emb, 64, pq_path, n_centroids=8, m=8)
+        p = plan_of(spark.read.parquet(f"{pq_path}/cells")
+                    .filter(F.col("cell").isin([1, 3])))
+        pq_q = similarity.ivf_pq_query(emb.limit(5), emb, 64, pq_path,
+                                       k=3, nprobe=3)
+        pq_plan = pq_q._jdf.queryExecution().optimizedPlan().toString()
+        sections.append((
+            "IVF-PQ index: partition-pruned cell scan + kernel ADC scoring",
+            p,
+            ["PartitionFilters prune to probed cells -> %s"
+             % ("PASS" if "PartitionFilters" in p and "cell" in p
+                else "FAIL"),
+             "query plan holds the ADC mapInArrow kernel -> %s"
+             % ("PASS" if "MapInArrow" in pq_plan
+                or "PythonMapInArrow" in pq_plan else "FAIL")],
+        ))
+    finally:
+        _sh.rmtree(pq_path, ignore_errors=True)
+
+    # 6. file-scope commit group (round 5): single scan, broadcast
+    # basename->bucket hash join, NO shuffle anywhere before the sink
+    from parquet_playground_rs_spark.plans import pipeline as pl
+
+    seq_dir = _tf.mkdtemp(prefix="plans_fm_")
+    out_dir = _tf.mkdtemp(prefix="plans_fm_out_")
+    try:
+        seq.limit(2000).repartition(6).write.mode("overwrite") \
+            .parquet(seq_dir)
+        buckets = pl.plan_file_buckets(spark, seq_dir, 4)
+        files = [f for fs in buckets.values() for f in fs]
+        basemap = {f.rsplit("/", 1)[-1]: b
+                   for b, fs in buckets.items() for f in fs}
+        fmap = spark.createDataFrame(sorted(basemap.items()),
+                                     "_base string, _fbucket int")
+        tagged = (spark.read.parquet(*files)
+                  .withColumn("_base", F.element_at(
+                      F.split(F.input_file_name(), "/"), -1))
+                  .join(F.broadcast(fmap), "_base", "left")
+                  .withColumn("bucket", F.col("_fbucket").cast("int"))
+                  .drop("_base", "_fbucket"))
+        chunked = enc.split_skew(tagged, 4096, passthrough=("bucket",))
+        p = plan_of(pl._encode_with_bucket(chunked))
+        sections.append((
+            "File-scope commit group: one scan, broadcast bucket join, "
+            "zero Exchange",
+            p,
+            ["no Exchange before the sink (group I/O == plain encode) "
+             "-> %s" % ("PASS" if "Exchange" not in p
+                        or "BroadcastExchange" in p and
+                        p.count("Exchange") == p.count("BroadcastExchange")
+                        else "FAIL"),
+             "bucket via BroadcastHashJoin (not a per-row literal-map "
+             "scan) -> %s"
+             % ("PASS" if "BroadcastHashJoin" in p else "FAIL")],
+        ))
+    finally:
+        _sh.rmtree(seq_dir, ignore_errors=True)
+        _sh.rmtree(out_dir, ignore_errors=True)
+
     lines = ["# PLANS — physical-plan evidence for the scale-critical properties\n",
              "Generated by scripts/explain_plans.py (sf0.01 inputs).\n"]
     for title, plan, checks in sections:
