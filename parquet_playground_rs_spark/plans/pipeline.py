@@ -22,7 +22,10 @@ restartable runs with per-partition lineage. Design:
     commit-dir read-back). This is the 100-TB default and by far the
     cheapest strategy (measured ~1.3-1.5x at the 8M rehearsal where
     commits land every ~2 s of work; the per-commit cost is fixed, so
-    production-sized runs amortize it to noise).
+    production-sized runs amortize it to noise). Round 6: each group's
+    manifest is ONE atomic file (tmp+rename) and orphan commit dirs
+    are cleaned on restart, so resumes stay idempotent under
+    regrouping; the catalog fingerprint covers file sizes.
   * **re-scan** (default here) — each group re-scans the column-pruned
     source and filters to its hash buckets: 2.35x plain at 8M rows.
   * **staging** (`stage_input=True`) — materialize the chunked work

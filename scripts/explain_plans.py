@@ -395,7 +395,10 @@ def main() -> None:
         for c in checks:
             lines.append(f"- {c}")
         lines.append("\n```\n" + plan.strip()[:4000] + "\n```\n")
-    OUT.write_text("\n".join(lines))
+    # Spark renders a NULL string literal as a raw \x00 byte in plan
+    # strings, which turns the whole file "binary" for grep/diff tools —
+    # make it visible instead
+    OUT.write_text("\n".join(lines).replace("\x00", "<NUL>"))
     print(f"written {OUT}")
     for title, _, checks in sections:
         print(title, "::", "; ".join(checks))
