@@ -716,7 +716,8 @@ def read_pq_codebooks(spark, path: str) -> np.ndarray:
 def ivf_pq_query(queries: DataFrame, dim: int,
                  path: str, k: int = 10, nprobe: int = 4,
                  refine: int = 4, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 query_chunk: int = 4096) -> DataFrame:
     """Query a persisted IVF-PQ index: probed `cell=<j>/` partitions are
     read PRUNED and COLUMN-PRUNED to (id, pq_code) — m bytes/row, not
     8*dim — candidates are scored in the quantized domain with Jegou et
@@ -735,10 +736,14 @@ def ivf_pq_query(queries: DataFrame, dim: int,
 
     Driver-bounded artifacts (the query batch is model-artifact-sized
     by contract, like the probed-cell set): the collected query units
-    (n_q x dim) and the broadcast LUT (n_q x m x 256 float64 — 327 KB
-    at 20 queries/m=8; chunk very large query sets). Output shape
-    matches ivf_topk/ivf_query: (query_id, neighbor_id, cosine,
-    rank)."""
+    (n_q x dim) and the broadcast LUT (chunk x m x 256 float64 — 327 KB
+    at 20 queries/m=8). Query batches larger than `query_chunk` are
+    processed in slices so the LUT broadcast stays bounded (~64 MB at
+    the 4096 default with m=8) regardless of batch size; each slice
+    probes and scans only ITS queries' cells, and per-query results are
+    independent, so the union of slice results is exactly the unsliced
+    answer. Output shape matches ivf_topk/ivf_query: (query_id,
+    neighbor_id, cosine, rank)."""
     import pandas as pd
 
     spark = queries.sparkSession
@@ -753,99 +758,124 @@ def ivf_pq_query(queries: DataFrame, dim: int,
     # in the plan keeps the NULL-embedding contract: the collect fails
     # loudly on a NULL query vector)
     q_rows = q_units.collect()
+    qid_type = queries.schema[id_col].dataType.simpleString()
     if not q_rows:
         return spark.createDataFrame(
-            [], f"query_id {queries.schema[id_col].dataType.simpleString()}"
-                ", neighbor_id "
-                f"{queries.schema[id_col].dataType.simpleString()}, "
+            [], f"query_id {qid_type}, neighbor_id {qid_type}, "
                 "cosine double, rank int")
-    qids = [r["query_id"] for r in q_rows]
-    Qm = np.array([r["qu"] for r in q_rows], dtype=np.float64)
-    n_q, n_cells = Qm.shape[0], C.shape[0]
-    qc = Qm @ C.T  # (n_q, n_cells): q . centroid, reused by the ADC sum
-    # nprobe best cells per query: stable argsort on the affinity score
-    # (x.c - |c|^2/2) — ties to the lower cell id, matching the kernel
-    # path of ivf_query/_with_cells_kernel
-    aff = qc - (C * C).sum(axis=1) / 2.0
-    order = np.argsort(-aff, axis=1, kind="stable")[:, :nprobe] + 1
-    probed = sorted({int(c) for row in order for c in row})
+    qids_all = [r["query_id"] for r in q_rows]
+    Qm_all = np.array([r["qu"] for r in q_rows], dtype=np.float64)
     m, n_codes, dsub = codebooks.shape
-    # ADC LUT: lut[i, j, t] = q_i[sub j] . codebook[j, t]
-    lut = np.einsum("ijd,jtd->ijt",
-                    Qm.reshape(n_q, m, dsub),
-                    codebooks)
-    pairs = [(qid, int(c)) for qid, row in zip(qids, order) for c in row]
-    qid_type = queries.schema[id_col].dataType.simpleString()
-    q_pairs = spark.createDataFrame(pairs, f"query_id {qid_type}, cell int")
-    cells = (spark.read.parquet(f"{path}/cells")
-             .filter(F.col("cell").isin(probed))
-             .select(F.col(id_col).alias("neighbor_id"), "pq_code", "cell"))
-    joined = cells.join(F.broadcast(q_pairs), "cell") \
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    cnorm_half = (C * C).sum(axis=1) / 2.0
 
-    bc = spark.sparkContext.broadcast(
-        (np.ascontiguousarray(lut), np.ascontiguousarray(qc), list(qids)))
-    nid_type = joined.schema["neighbor_id"].dataType.simpleString()
+    def _slice(qids: list, Qm: np.ndarray) -> DataFrame:
+        n_q = Qm.shape[0]
+        qc = Qm @ C.T  # (n_q, n_cells): q . centroid, reused by ADC
+        # nprobe best cells per query: stable argsort on the affinity
+        # score (x.c - |c|^2/2) — ties to the lower cell id, matching
+        # the kernel path of ivf_query/_with_cells_kernel
+        aff = qc - cnorm_half
+        order = np.argsort(-aff, axis=1, kind="stable")[:, :nprobe] + 1
+        probed = sorted({int(c) for row in order for c in row})
+        # ADC LUT: lut[i, j, t] = q_i[sub j] . codebook[j, t]
+        lut = np.einsum("ijd,jtd->ijt",
+                        Qm.reshape(n_q, m, dsub),
+                        codebooks)
+        pairs = [(qid, int(c)) for qid, row in zip(qids, order)
+                 for c in row]
+        q_pairs = spark.createDataFrame(
+            pairs, f"query_id {qid_type}, cell int")
+        cells = (spark.read.parquet(f"{path}/cells")
+                 .filter(F.col("cell").isin(probed))
+                 .select(F.col(id_col).alias("neighbor_id"),
+                         "pq_code", "cell"))
+        joined = cells.join(F.broadcast(q_pairs), "cell") \
+            .filter(F.col("neighbor_id") != F.col("query_id"))
 
-    def mapper(batches):
-        import pyarrow as pa
+        bc = spark.sparkContext.broadcast(
+            (np.ascontiguousarray(lut), np.ascontiguousarray(qc),
+             list(qids)))
+        nid_type = joined.schema["neighbor_id"].dataType.simpleString()
 
-        lutm, qcm, qid_list = bc.value
-        msub = lutm.shape[1]
-        qindex = pd.Index(qid_list)
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            code_col = batch.column("pq_code")
-            if code_col.null_count:
-                raise ValueError("NULL pq_code in index")
-            flat = np.frombuffer(code_col.buffers()[2], dtype=np.uint8)
-            offs = np.frombuffer(code_col.buffers()[1], dtype=np.int32,
-                                 count=code_col.offset + len(code_col) + 1)[
-                code_col.offset:]
-            codes = flat[offs[0]:offs[-1]].reshape(-1, msub)
-            cell = batch.column("cell").to_numpy(
-                zero_copy_only=False).astype(np.int64) - 1
-            q_idx = qindex.get_indexer(
-                batch.column("query_id").to_pandas())
-            if (q_idx < 0).any():
-                raise ValueError("candidate row for an unknown query id")
-            # approx = q.centroid[cell] + sum_j lut[q, j, code_j]
-            approx = qcm[q_idx, cell] + lutm[
-                q_idx[:, None],
-                np.arange(msub)[None, :],
-                codes,
-            ].sum(axis=1)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("query_id"), batch.column("neighbor_id"),
-                 pa.array(approx)],
-                names=["query_id", "neighbor_id", "approx"])
+        def mapper(batches):
+            import pyarrow as pa
 
-    scored = joined.select("query_id", "neighbor_id", "pq_code",
-                           "cell").mapInArrow(
-        mapper,
-        f"query_id {qid_type}, neighbor_id {nid_type}, approx double")
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx"),
-                                               F.asc("neighbor_id"))
-    cand = scored.withColumn("r0", F.row_number().over(w)) \
-        .filter(F.col("r0") <= refine * k).select("query_id", "neighbor_id")
-    # exact refinement against the index's own stored floats: the unit
-    # column of the PROBED cells only (partition filter, then column
-    # pruning keeps the pq_code chunks unread here, just as the
-    # candidate scan above leaves the unit chunks unread); candidate
-    # ids broadcast (query-sized), the probed cells are never shuffled
-    refine_scan = (spark.read.parquet(f"{path}/cells")
-                   .filter(F.col("cell").isin(probed))
-                   .select(F.col(id_col).alias("neighbor_id"),
-                           F.col("unit").alias("cu")))
-    exact = (refine_scan.join(F.broadcast(cand), "neighbor_id")
-             .join(F.broadcast(q_units), "query_id")
-             .select("query_id", "neighbor_id",
-                     _dot(F.col("cu"), F.col("qu")).alias("cosine")))
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                                F.asc("neighbor_id"))
-    return exact.withColumn("rank", F.row_number().over(w2)) \
-        .filter(F.col("rank") <= k)
+            lutm, qcm, qid_list = bc.value
+            msub = lutm.shape[1]
+            qindex = pd.Index(qid_list)
+            for batch in batches:
+                if not batch.num_rows:
+                    continue
+                code_col = batch.column("pq_code")
+                if code_col.null_count:
+                    raise ValueError("NULL pq_code in index")
+                flat = np.frombuffer(code_col.buffers()[2],
+                                     dtype=np.uint8)
+                offs = np.frombuffer(
+                    code_col.buffers()[1], dtype=np.int32,
+                    count=code_col.offset + len(code_col) + 1)[
+                    code_col.offset:]
+                codes = flat[offs[0]:offs[-1]].reshape(-1, msub)
+                cell = batch.column("cell").to_numpy(
+                    zero_copy_only=False).astype(np.int64) - 1
+                q_idx = qindex.get_indexer(
+                    batch.column("query_id").to_pandas())
+                if (q_idx < 0).any():
+                    raise ValueError(
+                        "candidate row for an unknown query id")
+                # approx = q.centroid[cell] + sum_j lut[q, j, code_j]
+                approx = qcm[q_idx, cell] + lutm[
+                    q_idx[:, None],
+                    np.arange(msub)[None, :],
+                    codes,
+                ].sum(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("query_id"),
+                     batch.column("neighbor_id"),
+                     pa.array(approx)],
+                    names=["query_id", "neighbor_id", "approx"])
+
+        scored = joined.select("query_id", "neighbor_id", "pq_code",
+                               "cell").mapInArrow(
+            mapper,
+            f"query_id {qid_type}, neighbor_id {nid_type}, approx double")
+        w = Window.partitionBy("query_id").orderBy(F.desc("approx"),
+                                                   F.asc("neighbor_id"))
+        cand = scored.withColumn("r0", F.row_number().over(w)) \
+            .filter(F.col("r0") <= refine * k) \
+            .select("query_id", "neighbor_id")
+        # exact refinement against the index's own stored floats: the
+        # unit column of the slice's PROBED cells only (partition
+        # filter, then column pruning keeps the pq_code chunks unread
+        # here, just as the candidate scan above leaves the unit chunks
+        # unread); candidate ids broadcast (query-sized), the probed
+        # cells are never shuffled. The query units re-enter as a local
+        # DataFrame built from the already-collected float64 rows —
+        # exact, and the query lineage is not recomputed per slice.
+        qu_local = spark.createDataFrame(
+            [(qid, [float(x) for x in vec])
+             for qid, vec in zip(qids, Qm)],
+            f"query_id {qid_type}, qu array<double>")
+        refine_scan = (spark.read.parquet(f"{path}/cells")
+                       .filter(F.col("cell").isin(probed))
+                       .select(F.col(id_col).alias("neighbor_id"),
+                               F.col("unit").alias("cu")))
+        exact = (refine_scan.join(F.broadcast(cand), "neighbor_id")
+                 .join(F.broadcast(qu_local), "query_id")
+                 .select("query_id", "neighbor_id",
+                         _dot(F.col("cu"), F.col("qu")).alias("cosine")))
+        w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                    F.asc("neighbor_id"))
+        return exact.withColumn("rank", F.row_number().over(w2)) \
+            .filter(F.col("rank") <= k)
+
+    parts = [_slice(qids_all[lo:lo + query_chunk],
+                    Qm_all[lo:lo + query_chunk])
+             for lo in range(0, len(qids_all), query_chunk)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def embedding_near_dups(corpus: DataFrame, dim: int, threshold: float = 0.95,

@@ -169,3 +169,21 @@ def test_pq_encode_decode_fixed_point():
 def test_pq_rejects_indivisible_dim():
     with pytest.raises(ValueError, match="not divisible"):
         similarity.train_pq_codebooks(np.zeros((10, 10)), m=3)
+
+
+def test_pq_query_chunking_matches_unchunked(spark, emb, pq_index):
+    """query_chunk bounds the per-slice ADC LUT broadcast; per-query
+    results are independent, so slicing must be invisible: a 15-query
+    batch forced through 4-query slices returns exactly the single-slice
+    answer (same pairs, bit-identical cosines, same ranks)."""
+    path, _, _ = pq_index
+    queries = emb.orderBy("vec_id").limit(15)
+    whole = similarity.ivf_pq_query(queries, DIM, path, k=5,
+                                    nprobe=6, refine=8)
+    sliced = similarity.ivf_pq_query(queries, DIM, path, k=5,
+                                     nprobe=6, refine=8, query_chunk=4)
+    a = {(r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+         for r in whole.collect()}
+    b = {(r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+         for r in sliced.collect()}
+    assert a == b and len(a) > 0
