@@ -446,7 +446,14 @@ def main() -> None:
     near_docs = (docs.crossJoin(reps8).select(
         (F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
         F.concat(F.lit("rep"), F.col("rep").cast("string"),
-                 F.lit(" "), F.col("text")).alias("text")))
+                 F.lit(" "), F.col("text")).alias("text"))
+        # the 8x crossJoin inherits the sf documents file's SINGLE input
+        # split, serializing the whole shingle map side on one core (the
+        # round-6 decomposition measured 11 of q_minhash's 22 s in that
+        # one task). A real corpus arrives in many splits; one core-count
+        # repartition of the raw docs (~35 MB at sf0.1, timed in-region)
+        # restores the real-input shape the operator is designed for.
+        .repartition(CPUS, "doc_id"))
     def shuffle_totals_safe():
         # ONLY the REST metrics are optional (they need the UI); an engine
         # failure in the dedup op itself must fail the bench loudly
