@@ -136,10 +136,19 @@ def main() -> None:
     opt = dedup.jaccard_pairs(sh, min_jaccard=0.8, pairs=cand) \
         ._jdf.queryExecution().optimizedPlan().toString()
     sections.append((
-        "MinHash exact-Jaccard confirm: candidate-first",
+        "MinHash exact-Jaccard confirm: candidate-first, set-based",
         opt[:4000],
         ["no LeftSemi above the aggregation (candidates join below it) "
-         "-> %s" % ("PASS" if "LeftSemi" not in opt else "FAIL")],
+         "-> %s" % ("PASS" if "LeftSemi" not in opt else "FAIL"),
+         # round 6: the confirm joins candidate pairs to per-doc shingle
+         # SETS on the two doc ids; a join keyed on a shingle column
+         # would be the old pairs-x-shingles expansion (shuffle larger
+         # than the corpus at candidate degree > 1)
+         "no join keyed on a shingle column (set-based confirm) -> %s"
+         % ("PASS" if not re.search(r"Join [A-Za-z]+, \([^\n]*shingle",
+                                    opt) else "FAIL"),
+         "intersection via array_intersect -> %s"
+         % ("PASS" if "array_intersect" in opt else "FAIL")],
     ))
 
     # 4e. checksum verify: no join anywhere — two partial aggregations
