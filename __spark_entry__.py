@@ -516,12 +516,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared shingle/intersection CTE chain used by the three near-dup
-# oracles (mirrors dedup.word_shingles' n=3 semantics incl. the
-# short-text whole-string branch) - ONE copy so a fix cannot
-# desynchronize them.
-_SHINGLE_CTES = """ws AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+# Shared shingle/intersection CTE chain used by the near-dup oracles
+# (mirrors dedup.word_shingles' n=3 semantics incl. the short-text
+# whole-string branch) - ONE copy so a fix cannot desynchronize them.
+# Parameterized over the source relation so the composed pipeline_e2e
+# oracle can run the same chain over the exact-deduped subset.
+def _shingle_ctes(src: str = "documents") -> str:
+    return f"""ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM {src}
 ),
 sh AS (
   SELECT DISTINCT doc_id, s
@@ -537,6 +539,9 @@ inter AS (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )"""
+
+
+_SHINGLE_CTES = _shingle_ctes()
 
 
 _Q_NGRAM_JACCARD_SQL = "WITH " + _SHINGLE_CTES + """,
@@ -1782,6 +1787,181 @@ FROM d
 """
 
 
+def _q_pipeline_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 judge task 1 at driver level: the GROWING-corpus path.
+    Stage ~2/3 of the tokenized documents as three parquet files and run
+    the file-scope pipeline; append the remaining documents as two more
+    files and rerun with append=True — only the new files are planned,
+    into a new catalog version whose buckets extend (never reassign) the
+    committed ones. Decode the union and verify it against the full
+    corpus; the oracle derives every output from `documents` alone plus
+    the run's deterministic structure (3+2 buckets, 2 catalog versions,
+    2 appended files)."""
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.plans import pipeline as pl
+
+    seq = _sequences(spark, sf_dir)
+    in_dir = _scratch_dir("pap_in")
+    out_dir = _scratch_dir("pap_out")
+    seq.filter(F.col("doc_id") % 3 != 0).repartition(3) \
+        .write.mode("overwrite").parquet(in_dir)
+    pl.run_encode_job_files(spark, in_dir, out_dir, n_buckets=3,
+                            chunk_size=4096, buckets_per_commit=2)
+    # the corpus grows: two new part files land in the same input dir
+    seq.filter(F.col("doc_id") % 3 == 0).repartition(2) \
+        .write.mode("append").parquet(in_dir)
+    s2 = pl.run_encode_job_files(spark, in_dir, out_dir, n_buckets=2,
+                                 chunk_size=4096, append=True)
+    staged = spark.read.parquet(in_dir)
+    encoded = pl.read_encoded(spark, out_dir)
+    with dec.decoded_tokens(encoded) as decoded:
+        verdict = dec.verify_roundtrip(staged, decoded)
+        tok = decoded.agg(
+            F.sum(F.size("tokens")).cast("long").alias("tok_sum"))
+        blocks = encoded.agg(F.count("*").cast("long").alias("n_blocks"))
+        manifest = pl.read_manifest(spark, out_dir).filter(
+            F.col("status") == "done").agg(
+            F.count("*").cast("long").alias("manifest_buckets"),
+            F.sum("n_rows").cast("long").alias("manifest_row_sum"))
+        consts = spark.createDataFrame(
+            [(s2["catalog_versions"], s2["appended_files"])],
+            "catalog_versions long, appended_files long")
+        return _finalize(
+            verdict.crossJoin(blocks).crossJoin(manifest).crossJoin(tok)
+            .crossJoin(consts),
+            in_dir, out_dir)
+
+
+_Q_PIPELINE_APPEND_SQL = """
+WITH d AS (
+  SELECT count(*) AS n,
+         CAST(sum(greatest(1, ceil(len(string_split(text, ' ')) / 4096.0)))
+              AS BIGINT) AS nb,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents)
+SELECT CAST(n AS BIGINT) AS n_source,
+       CAST(n AS BIGINT) AS n_decoded,
+       CAST(n AS BIGINT) AS n_joined,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       nb AS n_blocks,
+       CAST(5 AS BIGINT) AS manifest_buckets,
+       nb AS manifest_row_sum,
+       toks AS tok_sum,
+       CAST(2 AS BIGINT) AS catalog_versions,
+       CAST(2 AS BIGINT) AS appended_files
+FROM d
+"""
+
+
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 judge task 3: the full training-data pipeline composed on
+    SHARED lineage — exact dedup -> MinHash near-dup clustering apply ->
+    Gopher quality filter -> tokenize -> encode -> parquet sink -> decode
+    + roundtrip verify — as ONE driver query. Every stage is
+    individually oracle-green; this row proves the COMPOSITION: the
+    oracle re-derives the surviving-doc count, id/char checksums, token
+    total and block count from `documents` alone (window dedup,
+    recursive-CTE clustering, the same quality rules)."""
+    from parquet_playground_rs_spark.functions import text as T
+    from parquet_playground_rs_spark.operators import components, dedup
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.operators import encode as enc
+    from parquet_playground_rs_spark.sources.tokenizer import (
+        tokenize_documents,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d1 = dedup.exact_dedup(docs)
+    pairs = dedup.minhash_dedup(d1, n=3, k=64, bands=16, threshold=0.8) \
+        .select("doc_a", "doc_b")
+    comp = components.connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")) \
+        .select(F.col("id").alias("doc_id"))
+    d2 = d1.join(losers, "doc_id", "left_anti")
+    d3 = d2.filter(T.gopher_keep("text"))
+    seq = tokenize_documents(d3)
+    out_dir = _scratch_dir("e2e_out")
+    enc.write_encoded(enc.encode_tokens(seq, chunk_size=4096), out_dir)
+    encoded = spark.read.parquet(out_dir)
+    with dec.decoded_tokens(encoded) as decoded:
+        verdict = dec.verify_roundtrip(seq, decoded)
+        tok = decoded.agg(
+            F.sum(F.size("tokens")).cast("long").alias("tok_sum"))
+        blocks = encoded.agg(F.count("*").cast("long").alias("n_blocks"))
+        stages = (
+            docs.agg(F.count("*").cast("long").alias("n_docs"))
+            .crossJoin(d1.agg(
+                F.count("*").cast("long").alias("n_after_exact")))
+            .crossJoin(d2.agg(
+                F.count("*").cast("long").alias("n_after_near")))
+            .crossJoin(d3.agg(
+                F.count("*").cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("kept_id_checksum"),
+                F.sum(F.length("text")).cast("long")
+                .alias("kept_chars_checksum")))
+        )
+        return _finalize(stages.crossJoin(blocks).crossJoin(tok)
+                         .crossJoin(verdict.select("n_mismatch")), out_dir)
+
+
+_Q_PIPELINE_E2E_SQL = "WITH RECURSIVE d1 AS (\n" + """
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM documents) WHERE doc_id = keeper
+),
+""" + _shingle_ctes("d1") + """,
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a
+  WHERE e.b <> reach.a
+),
+comp AS (
+  SELECT a AS id,
+         CASE WHEN min(b) < a THEN min(b) ELSE a END AS comp
+  FROM reach GROUP BY a
+),
+d2 AS (
+  SELECT d1.doc_id, d1.text FROM d1
+  LEFT JOIN comp c ON d1.doc_id = c.id
+  WHERE c.id IS NULL OR c.id = c.comp
+),
+per AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN (""" + _STOP_SQL + """))) AS BIGINT) AS sw,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS pc
+  FROM d2
+),
+d3 AS (
+  SELECT * FROM per
+  WHERE nw BETWEEN 10 AND 10000 AND sw * 10 >= nw AND pc * 4 <= n_chars
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_after_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_after_near,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars_checksum,
+       CAST(sum(greatest(1, ceil(nw / 4096.0))) AS BIGINT) AS n_blocks,
+       CAST(sum(nw) AS BIGINT) AS tok_sum,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM d3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats_by_source": _q_token_stats_by_source,
@@ -1815,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_multibatch": _q_streaming_sessions_multibatch,
         "streaming_incremental_encode": _q_streaming_incremental_encode,
         "pipeline_file_commits": _q_pipeline_file_commits,
+        "pipeline_append": _q_pipeline_append,
+        "pipeline_e2e": _q_pipeline_e2e,
         "events_asof": _q_events_asof,
         "events_asof_forward": _q_events_asof_forward,
         "events_range_join": _q_events_range_join,
@@ -1851,6 +2033,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions_multibatch": _Q_STREAMING_SESSIONS_MULTIBATCH_SQL,
         "streaming_incremental_encode": _Q_STREAMING_INCREMENTAL_SQL,
         "pipeline_file_commits": _Q_PIPELINE_FILE_COMMITS_SQL,
+        "pipeline_append": _Q_PIPELINE_APPEND_SQL,
+        "pipeline_e2e": _Q_PIPELINE_E2E_SQL,
         "chunk_verify": _Q_CHUNK_VERIFY_SQL,
         "events_asof": _Q_EVENTS_ASOF_SQL,
         "events_asof_forward": _Q_EVENTS_ASOF_FWD_SQL,
