@@ -109,10 +109,18 @@ def calibrate(tag: str = "") -> float:
     return best
 
 
-def timed_reps(fn, reps: int = 3, tag: str = "") -> list[float]:
+def timed_reps(fn, reps: int = 3, tag: str = "",
+               warmup: bool = False) -> list[float]:
     """Run fn() `reps` times, a calibration probe interleaved BEFORE each
     rep (the probe times land in the shared series for the noise index,
-    tagged so a spike localizes to the query it bracketed)."""
+    tagged so a spike localizes to the query it bracketed).
+
+    warmup=True runs ONE untimed rep first (round-7 judge task 8: r6's
+    q_encode median included an 11.8 s worker-pool/JIT warm-up rep, so
+    cross-round median comparisons carried startup noise the bests
+    didn't). Medians over the timed reps are then warm-only."""
+    if warmup:
+        fn()
     out = []
     for _ in range(reps):
         calibrate(tag)
@@ -218,14 +226,16 @@ def main() -> None:
 
     out_dir = os.path.join(CACHE, f"encoded_{sf_name()}_{CPUS}")
 
-    # ---- q_encode: the reference encode path, distributed; median of
-    # reps, calibration probe interleaved before each
+    # ---- q_encode: the reference encode path, distributed; ONE untimed
+    # warm-up rep (pays the worker-pool/JIT startup), then the median of
+    # warm reps only (round-7 judge task 8), probe interleaved per rep
     def _encode():
         encoded = enc.encode_tokens(seq, chunk_size=enc.DEFAULT_CHUNK)
         enc.write_encoded(encoded, out_dir)
 
-    reps = timed_reps(_encode, ENCODE_REPS, tag="q_encode")
+    reps = timed_reps(_encode, ENCODE_REPS, tag="q_encode", warmup=True)
     timings["q_encode"] = statistics.median(reps)
+    extra["encode_reps_warm_only"] = True
     extra["encode_reps_sec"] = [round(r, 3) for r in reps]
     extra["q_encode_best"] = round(min(reps), 3)
     extra["encode_tokens_per_sec"] = round(total_tokens / timings["q_encode"], 1)
@@ -374,15 +384,18 @@ def main() -> None:
 
     pipe_dir = os.path.join(CACHE, f"pipeline_{sf_name()}_{CPUS}")
     pipe_reps = []
-    for _ in range(3):  # first rep pays the code path's one-time JIT
+    for i in range(4):  # rep 0 = untimed warm-up (code-path JIT),
+        #                 round-7 task 8: medians over warm reps only
         shutil.rmtree(pipe_dir, ignore_errors=True)
-        calibrate("q_pipeline_encode")
+        if i > 0:
+            calibrate("q_pipeline_encode")
         t0 = time.time()
         s_full = pl.run_encode_job_files(
             spark, seq_path, pipe_dir, n_buckets=64,
             chunk_size=enc.DEFAULT_CHUNK,
             buckets_per_commit=8, concurrent_commits=8)
-        pipe_reps.append(time.time() - t0)
+        if i > 0:
+            pipe_reps.append(time.time() - t0)
     # MEDIAN, like every other multi-rep query (round-6 ADVICE: min here
     # against a median-based q_encode understated the overhead ratio);
     # best is reported alongside
@@ -583,9 +596,55 @@ def main() -> None:
     shutil.rmtree(ivf_q_d, ignore_errors=True)
     sim.write_ivf_pq_index(emb32, 32, ivf_q_d, n_centroids=16, m=8)
     recall.update(_recall_sweep(emb32, 32, "d32"))
+    ivf_q_32d = ivf_q_d
+    # float32 refine width (round-7 judge task 4): same corpus, same
+    # deterministic centroids/codebooks, refine floats stored at half
+    # the bytes — the sweep measures the narrowing against the same
+    # brute-force truth, the byte extras price the refine-scan saving
+    ivf_q_d = os.path.join(CACHE, f"ivf_pqf32_{sf_name()}")
+    shutil.rmtree(ivf_q_d, ignore_errors=True)
+    sim.write_ivf_pq_index(emb, dim, ivf_q_d, n_centroids=16, m=8,
+                           unit_dtype="float32")
+    recall.update(_recall_sweep(emb, dim, f"d{dim}f32"))
+    extra["ivf_pq_f32_unit_col_bytes"] = parquet_column_bytes(
+        os.path.join(ivf_q_d, "cells"), "unit")
+    extra["ivf_pq_f32_refine_scan_bytes_1q"] = probed_col_bytes(
+        ivf_q_d, probed_1q, "unit")
     extra["ivf_pq_recall"] = recall
-    for p in (ivf_f, ivf_q, ivf_q_d):
+    for p in (ivf_f, ivf_q, ivf_q_32d, ivf_q_d):
         shutil.rmtree(p, ignore_errors=True)
+
+    # ---- production-shape ANN width rehearsal fold-in (round-7 judge
+    # task 2): the 1M-vector / 256-cell build is too heavy to re-run per
+    # bench, so scripts/rehearsal_ann_width.py runs it once and writes
+    # BENCH/ann_width.json; the headline carries its probed-fraction and
+    # scan-byte evidence so the at-scale pruning claim is MEASURED, not
+    # extrapolated from the 16-cell sandbox index.
+    aw_path = Path(__file__).resolve().parent / "BENCH" / "ann_width.json"
+    if aw_path.exists():
+        with open(aw_path) as fh:
+            aw = json.load(fh)
+        for k in ("n_vectors", "n_cells", "nprobe", "probed_fraction_1q",
+                  "probed_fraction_batch", "code_scan_bytes_1q",
+                  "refine_scan_bytes_1q", "refine_bytes_over_corpus",
+                  "recall_at_10", "query_wall_sec_batch"):
+            if k in aw:
+                extra[f"ann_width_{k}"] = aw[k]
+
+    # ---- MinHash width rehearsal fold-in (round-7 judge task 7): the
+    # ~1M-doc adversarial-skew run (planted duplicate families + a
+    # degenerate-shingle block) lives in
+    # scripts/rehearsal_minhash_width.py -> BENCH/minhash_width.json.
+    mw_path = Path(__file__).resolve().parent / "BENCH" / \
+        "minhash_width.json"
+    if mw_path.exists():
+        with open(mw_path) as fh:
+            mw = json.load(fh)
+        for k in ("n_docs", "largest_bucket_capped", "max_bucket_cap",
+                  "shuffle_write_bytes", "wall_sec",
+                  "sampled_families_exact", "planted_pairs_found_pct"):
+            if k in mw:
+                extra[f"minhash_width_{k}"] = mw[k]
 
     # ---- streaming sessionizer state-scale extra (round-5): drain a
     # deterministic rotating-window stream one file per trigger and
@@ -665,6 +724,9 @@ def main() -> None:
         "q_ivf_pq_query_sec", "q_ivf_float_query_sec",
         "ivf_pq_query_scan_bytes_1q", "ivf_pq_refine_scan_bytes_1q",
         "ivf_cells_probed_1q", "ivf_cells_total",
+        "ann_width_n_vectors", "ann_width_n_cells",
+        "ann_width_probed_fraction_1q", "ann_width_recall_at_10",
+        "ivf_pq_f32_refine_scan_bytes_1q",
         "ivf_pq_query_scan_bytes", "ivf_pq_refine_scan_bytes",
         "ivf_float_query_scan_bytes", "corpus_embedding_col_bytes",
         "fsst_over_bitpack_decode", "kernel_rowwise_over_columnar",
