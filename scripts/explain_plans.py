@@ -357,6 +357,48 @@ def main() -> None:
     finally:
         _sh.rmtree(pq_path, ignore_errors=True)
 
+    # 5e. round 7: float32 refine column (scan reads array<float>, the
+    # dot runs in float64 after an explicit up-cast) and the balanced
+    # slice-union tree (driver plan depth grows ~log2(slices), and all
+    # slices share ONE cells relation / file listing)
+    pq32_path = _tf.mkdtemp(prefix="plans_pq32_")
+    try:
+        similarity.write_ivf_pq_index(emb, 64, pq32_path, n_centroids=8,
+                                      m=8, unit_dtype="float32")
+        q12 = emb.orderBy("vec_id").limit(12)
+        one = similarity.ivf_pq_query(q12, 64, pq32_path, k=3, nprobe=2)
+        sliced = similarity.ivf_pq_query(q12, 64, pq32_path, k=3,
+                                         nprobe=2, query_chunk=1)
+
+        def depth(df):
+            t = df._jdf.queryExecution().logical().treeString()
+            return max(len(ln) - len(ln.lstrip(" :+-"))
+                       for ln in t.splitlines())
+
+        d12, d1 = depth(sliced), depth(one)
+        exec32 = one._jdf.queryExecution().executedPlan().toString()
+        refine_lines = [ln for ln in exec32.splitlines()
+                        if "FileScan" in ln and "/cells" in ln
+                        and "unit" in ln.split("ReadSchema", 1)[-1]]
+        f32_scan = bool(refine_lines) and all(
+            "array<float>" in ln.split("ReadSchema", 1)[-1]
+            for ln in refine_lines)
+        sections.append((
+            "IVF-PQ round 7: float32 refine scan + balanced slice-union "
+            "tree",
+            "\n".join(refine_lines)
+            + f"\n\nlogical plan depth: 12 slices = {d12}, unsliced = {d1}",
+            ["refine scan ReadSchema is array<float> (half the bytes; "
+             "up-cast to float64 AFTER the scan) -> %s"
+             % ("PASS" if f32_scan else "FAIL"),
+             "12 single-query slices union as a balanced tree "
+             "(depth - unsliced <= 18 prefix chars ~ 6 levels, vs ~33 "
+             "for a linear chain) -> %s"
+             % ("PASS" if d12 - d1 <= 18 else "FAIL")],
+        ))
+    finally:
+        _sh.rmtree(pq32_path, ignore_errors=True)
+
     # 6. file-scope commit group (round 5): single scan, broadcast
     # basename->bucket hash join, NO shuffle anywhere before the sink
     from parquet_playground_rs_spark.plans import pipeline as pl

@@ -1,0 +1,302 @@
+#!/usr/bin/env python3
+"""Production-shape ANN width rehearsal (round-7 judge task 2).
+
+At the sandbox index shape (16 cells) a 20-query batch probes every
+cell, so the per-round bench could only show partition pruning on the
+single-query extras — the headline claim ("~0.2% of the index probed at
+4,096 cells") was extrapolated. This rehearsal MEASURES the pruning at a
+production-ish shape:
+
+- corpus: N_VECS (default 1,000,000) deterministic 64-d embeddings — a
+  mixture of 65,536 seeded Gaussian clusters of ~15 members each
+  (IVF-realistic geometry where a query's true top-10 are its cluster
+  siblings at cosine ~0.9, clearly separated from strangers; few HUGE
+  clusters would make the exact top-10 an unresolvable near-tie among
+  hundreds of siblings, and a uniform corpus would make every neighbor
+  list meaningless noise);
+- index: IVF-PQ at N_CELLS (default 256) cells, m=8, float64 refine
+  column (`write_ivf_pq_index`), trained on an 8,192-row sample;
+- measured: probed-cell FRACTION (1q and a 32-query batch), the
+  candidate scan bytes (pq_code column of probed cells), the refine scan
+  bytes (unit column of probed cells) and their proportionality to the
+  probed fraction, recall@10 vs exact brute force, and the batch query
+  wall time;
+- exact truth: a distributed mapInArrow top-k over the index's own
+  stored units (each partition emits its local top-k per query, a window
+  reduces) — no driver-side 512 MB collect.
+
+Writes BENCH/ann_width.json (folded into the bench headline) and
+appends a markdown section to BENCH/ANN_WIDTH.md. Prints ONE JSON line.
+
+Checks enforced here (the task's Done bar):
+- probed_fraction_1q <= nprobe / n_cells (equality modulo tie cells);
+- refine_scan_bytes / unit_col_bytes within 2x of the probed fraction
+  (cells are near-uniform, parquet framing adds slack).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CACHE = os.environ.get("SPARK_GRAFT_CACHE", "/tmp/spark_graft_cache")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_VECS = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "1000000"))
+N_CELLS = int(os.environ.get("SPARK_GRAFT_ANN_CELLS", "256"))
+DIM = 64
+M_SUB = 8
+NPROBE = int(os.environ.get("SPARK_GRAFT_ANN_NPROBE", "8"))
+K = 10
+N_QUERIES = 32
+N_CLUSTERS = 65536
+CENTER_SCALE = 3.0  # siblings at cosine ~0.9 (retrieval-grade tightness)
+SEED = 42
+
+
+def build_corpus(spark, path: str) -> None:
+    """Deterministic clustered corpus: vec_id i belongs to cluster
+    i % N_CLUSTERS; vector = CENTER_SCALE*center + unit noise (at 3.0
+    same-cluster cosine ~0.9). Seeded per (SEED,
+    first id of the Arrow batch) — stable within a run, which is all a
+    rehearsal needs (the index and the truth read the SAME files)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    bc = spark.sparkContext.broadcast(centers)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        C = bc.value
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            if not len(ids):
+                continue
+            r = np.random.default_rng([SEED, int(ids[0])])
+            noise = r.standard_normal((len(ids), DIM))
+            vecs = CENTER_SCALE * C[ids % N_CLUSTERS] + noise
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids),
+                 pa.FixedSizeListArray.from_arrays(
+                     pa.array(vecs.ravel()), DIM).cast(
+                     pa.list_(pa.float64()))],
+                names=["vec_id", "embedding"])
+
+    (spark.range(N_VECS, numPartitions=CPUS * 4)
+     .mapInArrow(gen, "vec_id long, embedding array<double>")
+     .write.mode("overwrite").option("compression", "snappy")
+     .parquet(path))
+
+
+def exact_topk_from_cells(spark, idx_path: str, Q: np.ndarray,
+                          qids: list[int], k: int):
+    """Ground truth: distributed exact cosine top-k over the index's own
+    stored unit vectors (map-side per-partition top-k, window reduce)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bc = spark.sparkContext.broadcast(
+        (np.ascontiguousarray(Q), list(qids)))
+
+    def mapper(batches):
+        import pyarrow as pa
+
+        Qm, qid_list = bc.value
+        best_s = [[] for _ in qid_list]  # per-query (score, id) heaps
+        import heapq
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            u = b.column("unit")
+            flat = np.asarray(u.values, dtype=np.float64).reshape(-1, DIM)
+            ids = b.column("vec_id").to_numpy()
+            S = flat @ Qm.T  # (rows, n_q); units are normalized
+            for qi in range(len(qid_list)):
+                col = S[:, qi]
+                top = np.argpartition(-col, min(k, len(col) - 1))[:k + 1]
+                for t in top:
+                    if ids[t] == qid_list[qi]:
+                        continue
+                    item = (float(col[t]), int(ids[t]))
+                    if len(best_s[qi]) < k:
+                        heapq.heappush(best_s[qi], item)
+                    elif item > best_s[qi][0]:
+                        heapq.heapreplace(best_s[qi], item)
+        qout, nout, sout = [], [], []
+        for qi, heap in enumerate(best_s):
+            for s, nid in heap:
+                qout.append(qid_list[qi])
+                nout.append(nid)
+                sout.append(s)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(qout, type=pa.int64()),
+             pa.array(nout, type=pa.int64()),
+             pa.array(sout, type=pa.float64())],
+            names=["query_id", "neighbor_id", "cosine"])
+
+    cells = spark.read.parquet(f"{idx_path}/cells") \
+        .select("vec_id", "unit")
+    scored = cells.mapInArrow(
+        mapper, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def main() -> None:
+    allowed = sorted(os.sched_getaffinity(0))
+    os.sched_setaffinity(0, set(allowed[:min(CPUS, len(allowed))]))
+
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import bench
+    from parquet_playground_rs_spark.operators import similarity as sim
+    from parquet_playground_rs_spark.session import get_spark
+
+    spark = get_spark(app="ann-width", cores=CPUS,
+                      shuffle_partitions=CPUS, driver_mem="12g")
+    corpus_path = os.path.join(
+        CACHE, f"ann_width_corpus_{N_VECS}_k{N_CLUSTERS}_s{CENTER_SCALE}")
+    idx_path = os.path.join(CACHE, f"ann_width_idx_{N_VECS}_{N_CELLS}")
+    out: dict = {"n_vectors": N_VECS, "n_cells": N_CELLS, "dim": DIM,
+                 "m": M_SUB, "nprobe": NPROBE, "k": K,
+                 "n_queries": N_QUERIES}
+
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        t0 = time.time()
+        build_corpus(spark, corpus_path)
+        out["corpus_build_sec"] = round(time.time() - t0, 1)
+    corpus = spark.read.parquet(corpus_path)
+
+    t0 = time.time()
+    shutil.rmtree(idx_path, ignore_errors=True)
+    C, cbs = sim.write_ivf_pq_index(
+        corpus, DIM, idx_path, n_centroids=N_CELLS, m=M_SUB,
+        sample=8192, iters=8)
+    out["index_build_sec"] = round(time.time() - t0, 1)
+    out["centroids_shape"] = list(C.shape)
+
+    # cell-population balance (the salting story depends on it)
+    pops = {r["cell"]: r["n"] for r in
+            spark.read.parquet(f"{idx_path}/cells")
+            .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    out["cells_nonempty"] = len(pops)
+    out["cell_rows_max"] = int(max(pops.values()))
+    out["cell_rows_median"] = int(sorted(pops.values())[len(pops) // 2])
+
+    # query batch: every 977th corpus vector (arbitrary coprime stride)
+    qids = [i * 977 % N_VECS for i in range(N_QUERIES)]
+    queries = corpus.filter(F.col("vec_id").isin(qids))
+
+    # probed-cell sets, derived exactly as ivf_pq_query derives them
+    qrows = sim.with_unit_vectors(queries).select("vec_id", "unit") \
+        .collect()
+    Qm = np.array([r["unit"] for r in qrows], dtype=np.float64)
+    qid_list = [r["vec_id"] for r in qrows]
+    aff = Qm @ C.T - (C * C).sum(axis=1) / 2.0
+    order = np.argsort(-aff, axis=1, kind="stable")[:, :NPROBE] + 1
+    probed_1q = sorted(int(c) for c in order[0])
+    probed_batch = sorted({int(c) for row in order for c in row})
+    out["cells_probed_1q"] = len(probed_1q)
+    out["cells_probed_batch"] = len(probed_batch)
+    out["probed_fraction_1q"] = round(len(probed_1q) / N_CELLS, 5)
+    out["probed_fraction_batch"] = round(len(probed_batch) / N_CELLS, 5)
+    assert len(probed_1q) <= NPROBE, "1q probes more cells than nprobe"
+
+    # scan-byte accounting: per-COLUMN compressed bytes of probed cells
+    def probed_col_bytes(probed, column):
+        return sum(bench.parquet_column_bytes(
+            os.path.join(idx_path, "cells", f"cell={c}"), column)
+            for c in probed)
+
+    code_total = bench.parquet_column_bytes(
+        os.path.join(idx_path, "cells"), "pq_code")
+    unit_total = bench.parquet_column_bytes(
+        os.path.join(idx_path, "cells"), "unit")
+    out["code_col_bytes_total"] = code_total
+    out["unit_col_bytes_total"] = unit_total
+    out["code_scan_bytes_1q"] = probed_col_bytes(probed_1q, "pq_code")
+    out["refine_scan_bytes_1q"] = probed_col_bytes(probed_1q, "unit")
+    out["code_scan_bytes_batch"] = probed_col_bytes(probed_batch, "pq_code")
+    out["refine_scan_bytes_batch"] = probed_col_bytes(probed_batch, "unit")
+    out["refine_bytes_over_corpus"] = round(
+        out["refine_scan_bytes_1q"] / unit_total, 5)
+    # refine bytes must track the probed fraction (2x slack for cell
+    # imbalance + parquet framing)
+    ratio = out["refine_bytes_over_corpus"] / out["probed_fraction_1q"]
+    assert 0.5 <= ratio <= 2.0, f"refine bytes not ∝ probed fraction: {ratio}"
+
+    # timed batch query (index scans warm from the byte accounting above)
+    t0 = time.time()
+    res = sim.ivf_pq_query(queries, DIM, idx_path, k=K, nprobe=NPROBE,
+                           refine=8)
+    got = {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+    out["query_wall_sec_batch"] = round(time.time() - t0, 2)
+    out["result_rows"] = len(got)
+
+    # exact recall@10 + a recall-vs-nprobe sweep (the probed-fraction /
+    # recall trade the index exists to offer)
+    t0 = time.time()
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in exact_topk_from_cells(
+                 spark, idx_path, Qm, qid_list, K).collect()}
+    out["exact_truth_sec"] = round(time.time() - t0, 2)
+    out["recall_at_10"] = round(len(got & truth) / max(len(truth), 1), 4)
+    sweep = {}
+    for npb in (4, 16, 32):
+        g = {(r["query_id"], r["neighbor_id"])
+             for r in sim.ivf_pq_query(queries, DIM, idx_path, k=K,
+                                       nprobe=npb, refine=8).collect()}
+        sweep[f"np{npb}"] = round(len(g & truth) / max(len(truth), 1), 4)
+    sweep[f"np{NPROBE}"] = out["recall_at_10"]
+    out["recall_sweep"] = {k: sweep[k]
+                           for k in sorted(sweep, key=lambda x: int(x[2:]))}
+
+    bench_dir = Path(__file__).resolve().parent.parent / "BENCH"
+    with open(bench_dir / "ann_width.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    md = bench_dir / "ANN_WIDTH.md"
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    with open(md, "a") as fh:
+        fh.write(
+            f"\n## Run {stamp} — {N_VECS:,} vectors / {N_CELLS} cells / "
+            f"nprobe {NPROBE}\n\n"
+            f"- probed fraction: **{out['probed_fraction_1q']:.3%}** per "
+            f"query ({out['cells_probed_1q']}/{N_CELLS} cells; the "
+            f"{N_QUERIES}-query batch union touches "
+            f"{out['cells_probed_batch']}/{N_CELLS} = "
+            f"{out['probed_fraction_batch']:.1%})\n"
+            f"- candidate scan: {out['code_scan_bytes_1q']:,} B of codes "
+            f"(vs {code_total:,} B whole column); refine scan: "
+            f"{out['refine_scan_bytes_1q']:,} B of floats (vs "
+            f"{unit_total:,} B) — refine/corpus = "
+            f"{out['refine_bytes_over_corpus']:.3%} ≈ probed fraction "
+            f"(ratio {ratio:.2f})\n"
+            f"- recall@10 vs exact brute force: **{out['recall_at_10']}**"
+            f" over {N_QUERIES} queries at nprobe {NPROBE}; sweep "
+            f"{out['recall_sweep']} (monotone in probed fraction: the "
+            f"knob trades scan bytes for recall)\n"
+            f"- wall: index build {out['index_build_sec']}s, batch query "
+            f"{out['query_wall_sec_batch']}s, exact truth "
+            f"{out['exact_truth_sec']}s (local[{CPUS}])\n"
+            f"- cell balance: max {out['cell_rows_max']:,} / median "
+            f"{out['cell_rows_median']:,} rows; {out['cells_nonempty']} "
+            f"non-empty cells\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
