@@ -394,7 +394,12 @@ def main() -> None:
              "12 single-query slices union as a balanced tree "
              "(depth - unsliced <= 18 prefix chars ~ 6 levels, vs ~33 "
              "for a linear chain) -> %s"
-             % ("PASS" if d12 - d1 <= 18 else "FAIL")],
+             % ("PASS" if d12 - d1 <= 18 else "FAIL"),
+             "NOTE (round-6 ADVICE): ivf_pq_query is EAGER — the query "
+             "batch is collected and the ADC LUTs are built at CALL "
+             "time, so these plans are post-collect snapshots and "
+             "query-side errors surface at the call, not the action "
+             "(documented first in the operator docstring)"],
         ))
     finally:
         _sh.rmtree(pq32_path, ignore_errors=True)
