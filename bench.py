@@ -646,6 +646,19 @@ def main() -> None:
             if k in mw:
                 extra[f"minhash_width_{k}"] = mw[k]
 
+    # ---- append-economics fold-in (round-7 judge task 1's scale claim:
+    # a 12.5% corpus growth costs ~the growth fraction of a re-encode,
+    # not a full re-encode) — scripts/rehearsal_append.py
+    ae_path = Path(__file__).resolve().parent / "BENCH" / \
+        "append_econ.json"
+    if ae_path.exists():
+        with open(ae_path) as fh:
+            ae = json.load(fh)
+        for k in ("n_base_rows", "growth_fraction", "append_over_regrown",
+                  "append_over_full"):
+            if k in ae:
+                extra[f"append_econ_{k}"] = ae[k]
+
     # ---- streaming sessionizer state-scale extra (round-5): drain a
     # deterministic rotating-window stream one file per trigger and
     # report the state store's row curve — the claim under test is
@@ -726,7 +739,7 @@ def main() -> None:
         "ivf_cells_probed_1q", "ivf_cells_total",
         "ann_width_n_vectors", "ann_width_n_cells",
         "ann_width_probed_fraction_1q", "ann_width_recall_at_10",
-        "ivf_pq_f32_refine_scan_bytes_1q",
+        "ivf_pq_f32_refine_scan_bytes_1q", "append_econ_append_over_regrown",
         "ivf_pq_query_scan_bytes", "ivf_pq_refine_scan_bytes",
         "ivf_float_query_scan_bytes", "corpus_embedding_col_bytes",
         "fsst_over_bitpack_decode", "kernel_rowwise_over_columnar",
