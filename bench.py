@@ -630,6 +630,15 @@ def main() -> None:
                   "recall_at_10", "query_wall_sec_batch"):
             if k in aw:
                 extra[f"ann_width_{k}"] = aw[k]
+    aw4k_path = Path(__file__).resolve().parent / "BENCH" / \
+        "ann_width_4096.json"
+    if aw4k_path.exists():  # the 4,096-cell claim check (variant shape)
+        with open(aw4k_path) as fh:
+            aw4k = json.load(fh)
+        for k in ("n_cells", "nprobe", "probed_fraction_1q",
+                  "probed_row_fraction_1q", "recall_at_10"):
+            if k in aw4k:
+                extra[f"ann4k_{k}"] = aw4k[k]
 
     # ---- MinHash width rehearsal fold-in (round-7 judge task 7): the
     # ~1M-doc adversarial-skew run (planted duplicate families + a

@@ -380,6 +380,13 @@ def run_encode_job(
 ) -> dict:
     """Encode `source_df` into `out`, resuming past completed buckets.
 
+    SINGLE WRITER assumed: this hash-bucket mode does not take the
+    `out/job.lock` lease (use `run_encode_job_files`, the 100-TB
+    default, for enforced single-writer semantics) — two concurrent
+    drivers on one `out` would interleave bucket overwrites
+    undetected. `concurrent_commits` threads WITHIN one call are fine:
+    they write disjoint bucket partitions.
+
     `fail_after_buckets` injects a crash for the kill-and-resume test.
     `statistics` is the E5 granularity mode (none/chunk/page) forwarded to
     the parquet sink. `concurrent_commits` > 1 overlaps commit groups
