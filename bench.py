@@ -748,6 +748,7 @@ def main() -> None:
         "ivf_cells_probed_1q", "ivf_cells_total",
         "ann_width_n_vectors", "ann_width_n_cells",
         "ann_width_probed_fraction_1q", "ann_width_recall_at_10",
+        "ann4k_probed_fraction_1q", "ann4k_recall_at_10",
         "ivf_pq_f32_refine_scan_bytes_1q", "append_econ_append_over_regrown",
         "ivf_pq_query_scan_bytes", "ivf_pq_refine_scan_bytes",
         "ivf_float_query_scan_bytes", "corpus_embedding_col_bytes",
