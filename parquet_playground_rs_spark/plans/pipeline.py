@@ -223,13 +223,18 @@ class _JobLock:
     would delete the live peer's in-flight commit dirs). The lock file
     is created atomically (``FileSystem.create(overwrite=false)`` —
     atomic on local FS and HDFS; S3A needs an external lock service if
-    concurrent drivers are a real possibility there) and carries
-    ``{token, ts}``; a daemon heartbeat refreshes ``ts`` every
-    lease/4 s while the job runs. A second writer finds a FRESH lock
-    and fails loudly; a lock whose heartbeat is older than the lease
-    is a crashed writer's leftover and is broken. In-process failures
-    (including the injected test crashes) release the lock via the
-    run's ``finally``, so resume is immediate on the common path."""
+    concurrent drivers are a real possibility there) and carries the
+    owner token, written ONCE; the heartbeat is a metadata-only
+    ``setTimes`` touch every lease/4 s and staleness is read from the
+    file's MODIFICATION TIME. Content is never rewritten while held —
+    a rewrite-based heartbeat (tmp + delete + rename) would open a
+    delete-to-rename window where a probing second writer sees no lock
+    at all, and a torn read of rewritten content would misread a LIVE
+    lock as stale. A second writer finds a fresh-mtime lock and fails
+    loudly; a lock whose mtime is older than the lease is a crashed
+    writer's leftover and is broken. In-process failures (including
+    the injected test crashes) release the lock via the run's
+    ``finally``, so resume is immediate on the common path."""
 
     def __init__(self, spark: SparkSession, out: str,
                  lease_sec: float = 60.0):
@@ -248,17 +253,14 @@ class _JobLock:
 
         self._token = uuid.uuid4().hex
         fs, jpath, jvm = _hadoop_fs(self._spark, self._path)
-        existing = _read_small_file(self._spark, self._path)
-        if existing is not None:
-            try:
-                held = json.loads(existing)
-            except ValueError:
-                held = {}
-            age = time.time() - float(held.get("ts", 0))
+        if fs.exists(jpath):
+            # staleness from the file's mtime (refreshed by the owner's
+            # setTimes heartbeat); the content is only the owner token
+            age = time.time() - \
+                fs.getFileStatus(jpath).getModificationTime() / 1000.0
             if age < self._lease:
                 raise RuntimeError(
-                    f"another writer holds {self._path} (token "
-                    f"{str(held.get('token', '?'))[:8]}, heartbeat "
+                    f"another writer holds {self._path} (heartbeat "
                     f"{age:.1f}s ago, lease {self._lease:.0f}s): "
                     "refusing to interleave commit groups with a live "
                     "job. If that writer is dead, wait out the lease or "
@@ -291,8 +293,9 @@ class _JobLock:
     def _beat(self) -> None:
         while not self._stop.wait(self._lease / 4):
             try:
-                _write_small_file(self._spark, self._path, json.dumps(
-                    {"token": self._token, "ts": time.time()}))
+                # metadata-only touch: mtime refresh, content untouched
+                fs, jpath, _ = _hadoop_fs(self._spark, self._path)
+                fs.setTimes(jpath, int(time.time() * 1000), -1)
             except Exception:
                 return  # lock vanished: release() reports the theft
 

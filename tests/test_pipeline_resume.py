@@ -409,8 +409,11 @@ def test_stale_lock_broken(spark, seq, seq_path, tmp_path):
 
     out = str(tmp_path / "lock2")
     os.makedirs(out)
-    with open(os.path.join(out, "job.lock"), "w") as fh:
+    lock_path = os.path.join(out, "job.lock")
+    with open(lock_path, "w") as fh:
         fh.write(json.dumps({"token": "deadbeef", "ts": _t.time() - 3600}))
+    old = _t.time() - 3600  # staleness is MTIME-based (heartbeat=touch)
+    os.utime(lock_path, (old, old))
     s = pl.run_encode_job_files(spark, seq_path, out, n_buckets=3,
                                 chunk_size=512)
     assert s["processed_buckets"] == 3
@@ -469,3 +472,28 @@ def test_foreign_commit_dir_fails_loudly(spark, seq, seq_path, tmp_path):
     with pytest.raises(IOError, match="unexpected entry"):
         pl.run_encode_job_files(spark, seq_path, out, n_buckets=3,
                                 chunk_size=512)
+
+
+def test_lock_heartbeat_touches_mtime_not_content(spark, tmp_path):
+    """The heartbeat is a metadata-only mtime touch: content (the owner
+    token) is written once and never rewritten — no delete/rename window
+    a probing second writer could slip through."""
+    import time as _t
+
+    out = str(tmp_path / "lock3")
+    os.makedirs(out)
+    held = pl._JobLock(spark, out, lease_sec=2.0).acquire()
+    try:
+        lock_path = os.path.join(out, "job.lock")
+        body0 = open(lock_path).read()
+        m0 = os.path.getmtime(lock_path)
+        _t.sleep(1.2)  # > lease/4: at least one heartbeat fired
+        assert os.path.getmtime(lock_path) > m0
+        assert open(lock_path).read() == body0  # content untouched
+        # a second writer still sees a live (fresh-mtime) lock, even
+        # though the ORIGINAL acquisition is older than the lease soon
+        with pytest.raises(RuntimeError, match="another writer holds"):
+            pl._JobLock(spark, out, lease_sec=2.0).acquire()
+    finally:
+        held.release()
+    assert not os.path.exists(os.path.join(out, "job.lock"))
