@@ -713,7 +713,16 @@ def _version_buckets(ver: dict) -> dict[int, list[str]]:
 
 
 def read_catalog(spark: SparkSession, out: str) -> list[dict]:
-    """All committed catalog versions, oldest first."""
+    """All committed catalog versions, oldest first.
+
+    Torn-write posture (deliberately different from the manifests'
+    group_size self-validation): a version file is ONE json document,
+    so an S3A partial rename leaves an unparseable prefix and
+    ``json.loads`` fails the run LOUDLY — unrecoverable-but-loud is
+    the right failure for the catalog (resuming without a version
+    would silently re-plan committed files), whereas a manifest is
+    newline-delimited rows where a parseable prefix would be silently
+    WRONG and therefore needs the row-count sentinel."""
     cdir = _catalog_dir(out)
     fs, jp, _ = _hadoop_fs(spark, cdir)
     if not fs.exists(jp):

@@ -53,6 +53,7 @@ N_CELLS = int(os.environ.get("SPARK_GRAFT_ANN_CELLS", "256"))
 DIM = 64
 M_SUB = 8
 NPROBE = int(os.environ.get("SPARK_GRAFT_ANN_NPROBE", "8"))
+UNIT_DTYPE = os.environ.get("SPARK_GRAFT_ANN_UNIT_DTYPE", "float64")
 K = 10
 N_QUERIES = 32
 N_CLUSTERS = 65536
@@ -169,10 +170,11 @@ def main() -> None:
                       shuffle_partitions=CPUS, driver_mem="12g")
     corpus_path = os.path.join(
         CACHE, f"ann_width_corpus_{N_VECS}_k{N_CLUSTERS}_s{CENTER_SCALE}")
-    idx_path = os.path.join(CACHE, f"ann_width_idx_{N_VECS}_{N_CELLS}")
+    idx_path = os.path.join(
+        CACHE, f"ann_width_idx_{N_VECS}_{N_CELLS}_{UNIT_DTYPE}")
     out: dict = {"n_vectors": N_VECS, "n_cells": N_CELLS, "dim": DIM,
                  "m": M_SUB, "nprobe": NPROBE, "k": K,
-                 "n_queries": N_QUERIES}
+                 "n_queries": N_QUERIES, "unit_dtype": UNIT_DTYPE}
 
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         t0 = time.time()
@@ -184,7 +186,7 @@ def main() -> None:
     shutil.rmtree(idx_path, ignore_errors=True)
     C, cbs = sim.write_ivf_pq_index(
         corpus, DIM, idx_path, n_centroids=N_CELLS, m=M_SUB,
-        sample=max(8192, 2 * N_CELLS), iters=8)
+        sample=max(8192, 2 * N_CELLS), iters=8, unit_dtype=UNIT_DTYPE)
     out["index_build_sec"] = round(time.time() - t0, 1)
     out["centroids_shape"] = list(C.shape)
 
@@ -278,7 +280,10 @@ def main() -> None:
     bench_dir = Path(__file__).resolve().parent.parent / "BENCH"
     # the default 256-cell run is the canonical bench fold-in; variant
     # shapes (e.g. the 4,096-cell claim check) get their own file
-    jname = ("ann_width.json" if N_CELLS == 256
+    jname = ("ann_width.json"
+             if N_CELLS == 256 and UNIT_DTYPE == "float64"
+             else f"ann_width_{N_CELLS}_{UNIT_DTYPE}.json"
+             if UNIT_DTYPE != "float64"
              else f"ann_width_{N_CELLS}.json")
     with open(bench_dir / jname, "w") as fh:
         json.dump(out, fh, indent=1)
@@ -287,7 +292,7 @@ def main() -> None:
     with open(md, "a") as fh:
         fh.write(
             f"\n## Run {stamp} — {N_VECS:,} vectors / {N_CELLS} cells / "
-            f"nprobe {NPROBE}\n\n"
+            f"nprobe {NPROBE} / refine {UNIT_DTYPE}\n\n"
             f"- probed fraction: **{out['probed_fraction_1q']:.3%}** per "
             f"query ({out['cells_probed_1q']}/{N_CELLS} cells; the "
             f"{N_QUERIES}-query batch union touches "
