@@ -1853,6 +1853,85 @@ FROM d
 """
 
 
+def _q_pipeline_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7, the maintenance half of the growing-corpus story: five
+    single-bucket commit groups (the shape a file-per-append-batch
+    corpus accretes — the object-store small-file problem) compact into
+    ONE group. `compact_encoded_job` rewrites the groups' data dirs
+    into one, publishes the merged manifest ATOMICALLY (its rows carry
+    a supersedes list; readers flip on that single rename), verifies
+    the rewrite against the manifested per-bucket (n_rows, block_crc)
+    before publish, and GCs the originals. The verdict proves the merge
+    preserved everything: roundtrip verify vs the staged input, the
+    per-block CRC32 sum byte-identical across the rewrite, the manifest
+    bucket rows intact under the new group, and group/file counts
+    actually shrank. Reference parity: the reference has no multi-file
+    table maintenance (its unit is one parquet file,
+    /root/reference/src/main.rs); this is the Spark-native growth story
+    (Iceberg/Delta-style rewrite-and-swap) the 100-TB shape needs."""
+    from parquet_playground_rs_spark.operators import decode as dec
+    from parquet_playground_rs_spark.plans import pipeline as pl
+
+    seq = _sequences(spark, sf_dir)
+    in_dir = _scratch_dir("pcm_in")
+    out_dir = _scratch_dir("pcm_out")
+    seq.repartition(5).write.mode("overwrite").parquet(in_dir)
+    staged = spark.read.parquet(in_dir)
+    pl.run_encode_job_files(spark, in_dir, out_dir, n_buckets=5,
+                            chunk_size=4096, buckets_per_commit=1)
+    crc0 = pl.read_encoded(spark, out_dir).agg(
+        F.sum(F.crc32("block"))).first()[0]
+    s = pl.compact_encoded_job(spark, out_dir,
+                               target_group_output_bytes=1 << 40)
+    encoded = pl.read_encoded(spark, out_dir)
+    crc1 = encoded.agg(F.sum(F.crc32("block"))).first()[0]
+    with dec.decoded_tokens(encoded) as decoded:
+        verdict = dec.verify_roundtrip(staged, decoded)
+        tok = decoded.agg(
+            F.sum(F.size("tokens")).cast("long").alias("tok_sum"))
+        blocks = encoded.agg(F.count("*").cast("long").alias("n_blocks"))
+        manifest = pl.read_manifest(spark, out_dir).filter(
+            F.col("status") == "done").agg(
+            F.count("*").cast("long").alias("manifest_buckets"),
+            F.sum("n_rows").cast("long").alias("manifest_row_sum"))
+        consts = spark.createDataFrame(
+            [(s["groups_before"], s["groups_after"],
+              s["buckets_rewritten"],
+              int(s["files_after"] < s["files_before"]),
+              int(crc0 == crc1))],
+            "groups_before long, groups_after long, "
+            "buckets_rewritten long, files_reduced long, "
+            "crc_preserved long")
+        return _finalize(
+            verdict.crossJoin(blocks).crossJoin(manifest).crossJoin(tok)
+            .crossJoin(consts),
+            in_dir, out_dir)
+
+
+_Q_PIPELINE_COMPACT_SQL = """
+WITH d AS (
+  SELECT count(*) AS n,
+         CAST(sum(greatest(1, ceil(len(string_split(text, ' ')) / 4096.0)))
+              AS BIGINT) AS nb,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents)
+SELECT CAST(n AS BIGINT) AS n_source,
+       CAST(n AS BIGINT) AS n_decoded,
+       CAST(n AS BIGINT) AS n_joined,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       nb AS n_blocks,
+       CAST(5 AS BIGINT) AS manifest_buckets,
+       nb AS manifest_row_sum,
+       toks AS tok_sum,
+       CAST(5 AS BIGINT) AS groups_before,
+       CAST(1 AS BIGINT) AS groups_after,
+       CAST(5 AS BIGINT) AS buckets_rewritten,
+       CAST(1 AS BIGINT) AS files_reduced,
+       CAST(1 AS BIGINT) AS crc_preserved
+FROM d
+"""
+
+
 def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 judge task 3: the full training-data pipeline composed on
     SHARED lineage — exact dedup -> MinHash near-dup clustering apply ->
@@ -1996,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_encode": _q_streaming_incremental_encode,
         "pipeline_file_commits": _q_pipeline_file_commits,
         "pipeline_append": _q_pipeline_append,
+        "pipeline_compact": _q_pipeline_compact,
         "pipeline_e2e": _q_pipeline_e2e,
         "events_asof": _q_events_asof,
         "events_asof_forward": _q_events_asof_forward,
@@ -2034,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_incremental_encode": _Q_STREAMING_INCREMENTAL_SQL,
         "pipeline_file_commits": _Q_PIPELINE_FILE_COMMITS_SQL,
         "pipeline_append": _Q_PIPELINE_APPEND_SQL,
+        "pipeline_compact": _Q_PIPELINE_COMPACT_SQL,
         "pipeline_e2e": _Q_PIPELINE_E2E_SQL,
         "chunk_verify": _Q_CHUNK_VERIFY_SQL,
         "events_asof": _Q_EVENTS_ASOF_SQL,

@@ -58,7 +58,7 @@ MANIFEST_SCHEMA = (
     "bucket int, status string, n_rows bigint, n_docs bigint, "
     "input_bytes bigint, output_bytes bigint, codec_hist string, "
     "block_crc bigint, wall_sec double, ts double, files string, "
-    "group_size int"
+    "group_size int, supersedes string"
 )
 _MANIFEST_COLS = [p.split(" ")[0] for p in MANIFEST_SCHEMA.split(", ")]
 
@@ -763,7 +763,8 @@ def _manifest_group_name(group_id: int) -> str:
 
 
 def _write_manifest_group(spark: SparkSession, out: str,
-                          group_id: int, rows: list[dict]) -> None:
+                          group_id: int, rows: list[dict],
+                          supersedes: list[int] | None = None) -> None:
     """Atomically commit ALL of a commit group's manifest rows as ONE
     file (tmp-write + rename): a group is either fully manifested or
     not at all — there is no window where some of its buckets read as
@@ -779,7 +780,15 @@ def _write_manifest_group(spark: SparkSession, out: str,
     leave a partial file, and a partial that still parses would
     otherwise read as a committed group missing some buckets. Readers
     (`read_manifest`, `_clean_stale_commit_dirs`) count the rows
-    against group_size and treat any shortfall as UNCOMMITTED."""
+    against group_size and treat any shortfall as UNCOMMITTED.
+
+    `supersedes` (compaction) stamps every row with the JSON list of
+    group ids this group REPLACES: the single rename that publishes
+    this file atomically flips readers from the old groups' data dirs
+    to the new one (`read_encoded` drops superseded groups), making
+    the old (manifest, dir) pairs garbage to be collected later — the
+    multi-file swap needs no journal because the supersedes list IS
+    the roll-forward record."""
     mdir = _manifest_dir(out)
     fs, mpath, jvm = _hadoop_fs(spark, mdir)
     try:
@@ -791,8 +800,11 @@ def _write_manifest_group(spark: SparkSession, out: str,
     name = _manifest_group_name(group_id)
     final = Path(mdir, name)
     tmp = Path(mdir, name + ".tmp")
+    extra = {"group_size": len(rows)}
+    if supersedes:
+        extra["supersedes"] = json.dumps(sorted(int(g) for g in supersedes))
     payload = "".join(
-        json.dumps({**r, "group_size": len(rows)}) + "\n" for r in rows)
+        json.dumps({**r, **extra}) + "\n" for r in rows)
     stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(payload.encode("utf-8")))
@@ -804,7 +816,62 @@ def _write_manifest_group(spark: SparkSession, out: str,
         raise IOError(f"manifest rename failed for commit group {group_id}")
 
 
-def _clean_stale_commit_dirs(spark: SparkSession, out: str) -> int:
+def _valid_group_manifests(spark: SparkSession,
+                           out: str) -> dict[int, list[dict]]:
+    """{group_id: manifest rows} for every VALID ``group-<g>.json``
+    (validity per `_read_manifest_flagged`'s group_size rule; legacy
+    per-bucket ``bucket-*.json`` rows are not commit groups and are
+    excluded)."""
+    flagged = _read_manifest_flagged(spark, out)
+    if flagged is None:
+        return {}
+    groups: dict[int, list[dict]] = {}
+    for r in (flagged.filter(F.col("_file_valid"))
+              .select(*_MANIFEST_COLS, "_mf").collect()):
+        name = r["_mf"].rsplit("/", 1)[-1]
+        if name.startswith("group-") and name.endswith(".json"):
+            groups.setdefault(int(name[6:-5]), []).append(r.asDict())
+    return groups
+
+
+def _live_group_ids(groups: dict[int, list[dict]]) -> set[int]:
+    """Group ids whose data is CURRENT: every valid group minus any
+    group listed in some valid group's ``supersedes`` — including lists
+    carried by groups that are themselves superseded, so a chain
+    g1 <- g' <- g'' resolves to {g''} even while the middle link's
+    garbage is still awaiting collection."""
+    superseded: set[int] = set()
+    for rows in groups.values():
+        for r in rows:
+            if r.get("supersedes"):
+                superseded.update(int(g) for g in json.loads(r["supersedes"]))
+    return set(groups) - superseded
+
+
+def _max_allocated_id(spark: SparkSession, out: str,
+                      versions: list[dict]) -> int:
+    """Highest id ever allocated in `out`'s shared bucket/group id
+    space: every catalog version's bucket ids plus every group id with
+    a manifest file present (valid, partial, or superseded). Append's
+    bucket_base and compaction's new group ids both come from
+    ``1 + this`` — necessary because a commit group is NAMED by its
+    first bucket, so a compacted group's id must never be re-issued to
+    a future append bucket (the manifest/dir names would collide)."""
+    hi = max((max(_version_buckets(v)) for v in versions), default=-1)
+    mdir = _manifest_dir(out)
+    fs, jp, _ = _hadoop_fs(spark, mdir)
+    if fs.exists(jp):
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            if name.startswith("group-") and name.endswith(".json"):
+                try:
+                    hi = max(hi, int(name[6:-5]))
+                except ValueError:
+                    pass
+    return hi
+
+
+def _clean_stale_commit_dirs(spark: SparkSession, out: str) -> tuple[int, int]:
     """Delete any ``out/data/commit=<g>/`` dir whose group manifest file
     is absent OR INVALID (partial/torn — see `_read_manifest_flagged`'s
     group_size rule): its data write started (possibly finished) but the
@@ -819,22 +886,34 @@ def _clean_stale_commit_dirs(spark: SparkSession, out: str) -> int:
     A ``commit=`` entry whose suffix is not an integer was not written
     by this pipeline — that's a foreign layout sharing the output dir,
     and silently deleting it would destroy someone else's data: fail
-    loudly instead (round-6 ADVICE low)."""
+    loudly instead (round-6 ADVICE low).
+
+    Second pass (compaction GC roll-forward): any valid group that is
+    SUPERSEDED by another valid group's manifest had its data replaced
+    by a published compaction — its manifest and dir are garbage that a
+    crash between compaction's publish and its GC may have left behind.
+    Delete manifest first (the dir then reads as stale on any re-run),
+    then the dir. Returns ``(stale_dirs_removed,
+    superseded_groups_collected)``."""
     data_dir = os.path.join(out, "data")
     fs, jp, jvm = _hadoop_fs(spark, data_dir)
     if not fs.exists(jp):
-        return 0
+        return 0, 0
     mdir = _manifest_dir(out)
     mfs, mjp, _ = _hadoop_fs(spark, mdir)
     present = set()
     if mfs.exists(mjp):
         present = {st.getPath().getName() for st in mfs.listStatus(mjp)}
     valid: set[str] = set()
+    superseded: set[int] = set()
     flagged = _read_manifest_flagged(spark, out)
     if flagged is not None:
-        valid = {r["_mf"].rsplit("/", 1)[-1] for r in
-                 flagged.filter(F.col("_file_valid"))
-                 .select("_mf").distinct().collect()}
+        for r in (flagged.filter(F.col("_file_valid"))
+                  .select("_mf", "supersedes").collect()):
+            valid.add(r["_mf"].rsplit("/", 1)[-1])
+            if r["supersedes"]:
+                superseded.update(
+                    int(g) for g in json.loads(r["supersedes"]))
     removed = 0
     Path = jvm.org.apache.hadoop.fs.Path
     for st in fs.listStatus(jp):
@@ -857,7 +936,19 @@ def _clean_stale_commit_dirs(spark: SparkSession, out: str) -> int:
             mfs.delete(Path(mdir, gname), False)
         fs.delete(st.getPath(), True)
         removed += 1
-    return removed
+    collected = 0
+    for gid in sorted(superseded):
+        gname = _manifest_group_name(gid)
+        had_manifest = gname in valid and mfs.exists(Path(mdir, gname))
+        if had_manifest:
+            mfs.delete(Path(mdir, gname), False)
+        dpath = Path(data_dir, f"commit={gid:05d}")
+        had_dir = fs.exists(dpath)
+        if had_dir:
+            fs.delete(dpath, True)
+        if had_manifest or had_dir:
+            collected += 1
+    return removed, collected
 
 
 def run_encode_job_files(
@@ -965,7 +1056,7 @@ def _run_encode_job_files_locked(
                 "files (committed files keep their buckets), or start "
                 "a fresh output dir")
         if new:
-            base = 1 + max(max(_version_buckets(v)) for v in versions)
+            base = 1 + _max_allocated_id(spark, out, versions)
             ver = _new_catalog_version(
                 int(versions[-1]["version"]) + 1, base, n_buckets,
                 new, live)
@@ -976,12 +1067,13 @@ def _run_encode_job_files_locked(
     for v in versions:
         buckets.update(_version_buckets(v))
     sizes = {f: s for v in versions for f, s in v["files"]}
-    stale = _clean_stale_commit_dirs(spark, out)
+    stale, collected = _clean_stale_commit_dirs(spark, out)
     done = completed_buckets(spark, out)
     pending = [b for b in sorted(buckets) if b not in done]
     summary = {"resumed_buckets": len(done), "processed_buckets": 0,
                "n_rows": 0, "input_bytes": 0, "output_bytes": 0,
                "stale_commit_dirs_cleaned": stale,
+               "superseded_groups_cleaned": collected,
                "catalog_versions": len(versions),
                "appended_files": appended_files}
     if not pending:
@@ -1178,7 +1270,207 @@ def _process_file_commit_group(spark, buckets, sizes, batch_buckets, out,
 
 
 def read_encoded(spark: SparkSession, out: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out, "data"))
+    """The committed encoded table.
+
+    When `out` carries group manifests (file-scope commit mode), the
+    read is MANIFEST-DRIVEN: only the commit dirs of valid,
+    non-superseded groups are scanned — an Iceberg/Delta-shaped
+    snapshot read. That makes `compact_encoded_job`'s publish atomic
+    for readers (one manifest rename flips which dirs are live) and
+    keeps a reader launched between a crash and the next cleanup from
+    seeing an orphaned commit dir. Outputs without group manifests
+    (hash-bucket mode, plain `write_encoded` dirs) keep the whole-dir
+    read."""
+    data_dir = os.path.join(out, "data")
+    groups = _valid_group_manifests(spark, out)
+    if not groups:
+        return spark.read.parquet(data_dir)
+    live = sorted(_live_group_ids(groups))
+    return (spark.read.option("basePath", data_dir)
+            .parquet(*[os.path.join(data_dir, f"commit={g:05d}")
+                       for g in live]))
+
+
+def _count_part_files(spark: SparkSession, dirs: list[str]) -> int:
+    """Data (non-hidden) files under `dirs`, recursively."""
+    n = 0
+    for d in dirs:
+        fs, jp, _ = _hadoop_fs(spark, d)
+        if not fs.exists(jp):
+            continue
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+    return n
+
+
+def compact_encoded_job(
+    spark: SparkSession,
+    out: str,
+    target_group_output_bytes: int = 256 << 20,
+    target_file_bytes: int = 128 << 20,
+    statistics: str = "page",
+    fail_before_manifest_bin: int | None = None,
+    fail_before_gc_bin: int | None = None,
+    lock_lease_sec: float = 60.0,
+) -> dict:
+    """Merge small commit groups into larger ones — the maintenance
+    half of `append=True`. A long-lived growing corpus accretes one
+    commit group per append batch; each group is its own data dir with
+    its own files, so listing pressure and per-file open costs grow
+    with append COUNT, not data size (the object-store small-file
+    problem). Compaction rewrites runs of adjacent live groups whose
+    combined manifested `output_bytes` fit `target_group_output_bytes`
+    into one new group of ~`target_file_bytes`-sized files, then
+    atomically retires the originals.
+
+    Crash-safe by construction, no journal:
+    1. the new group's data dir is written first — unmanifested, so a
+       crash here leaves a dir the next run's `_clean_stale_commit_dirs`
+       deletes (readers never see it: `read_encoded` is manifest-driven);
+    2. ONE rename publishes the new group manifest, whose rows carry
+       ``supersedes=[old group ids]`` — readers atomically flip from
+       the old dirs to the new one;
+    3. GC deletes the old manifests then dirs; a crash anywhere in 3
+       is rolled forward by the cleanup's superseded pass on the next
+       run (and tolerated meanwhile — superseded groups are dropped at
+       read time even with their files still on disk).
+
+    The rewrite is verified before publish: a read-back of the new dir
+    must reproduce every bucket's manifested (n_rows, block_crc)
+    exactly, else the job raises and the unpublished dir is garbage.
+    Bucket ownership moves to the new group ids in the manifest NAMES
+    only — bucket ids, lineage (`files`), and stats rows are preserved
+    verbatim, so `completed_buckets` and append/resume semantics are
+    unchanged. New group ids come from `_max_allocated_id`, which
+    future appends also consult, so ids never collide.
+
+    Holds the same single-writer `out/job.lock` as the encode job.
+    `fail_before_manifest_bin` / `fail_before_gc_bin` (tests only)
+    crash before bin i's publish / GC — the two protocol windows."""
+    job_lock = _JobLock(spark, out, lock_lease_sec).acquire()
+    ok = False
+    try:
+        summary = _compact_locked(
+            spark, out, target_group_output_bytes, target_file_bytes,
+            statistics, fail_before_manifest_bin, fail_before_gc_bin)
+        ok = True
+        return summary
+    finally:
+        job_lock.release(raise_on_stolen=ok)
+
+
+def _compact_locked(spark, out, target_group_output_bytes,
+                    target_file_bytes, statistics,
+                    fail_before_manifest_bin, fail_before_gc_bin) -> dict:
+    t0 = time.time()
+    data_dir = os.path.join(out, "data")
+    stale, collected = _clean_stale_commit_dirs(spark, out)
+    groups = _valid_group_manifests(spark, out)
+    summary = {"groups_before": len(groups), "groups_after": len(groups),
+               "bins_merged": 0, "buckets_rewritten": 0,
+               "bytes_rewritten": 0, "files_before": 0, "files_after": 0,
+               "stale_commit_dirs_cleaned": stale,
+               "superseded_groups_cleaned": collected, "wall_sec": 0.0}
+    live = sorted(_live_group_ids(groups))
+    if len(live) < 2:
+        summary["wall_sec"] = time.time() - t0
+        return summary
+    owner: dict[int, int] = {}
+    for g in live:
+        for r in groups[g]:
+            b = int(r["bucket"])
+            if b in owner:
+                raise IOError(
+                    f"bucket {b} committed by two live groups "
+                    f"({owner[b]} and {g}): corrupted manifest dir")
+            owner[b] = g
+    out_bytes = {g: sum(int(r["output_bytes"]) for r in groups[g])
+                 for g in live}
+    bins: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for g in live:
+        if cur and cur_bytes + out_bytes[g] > target_group_output_bytes:
+            if len(cur) >= 2:
+                bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(g)
+        cur_bytes += out_bytes[g]
+    if len(cur) >= 2:
+        bins.append(cur)
+    if not bins:
+        summary["wall_sec"] = time.time() - t0
+        return summary
+    next_gid = 1 + _max_allocated_id(spark, out, read_catalog(spark, out))
+    mdir = _manifest_dir(out)
+    mfs, _, jvm = _hadoop_fs(spark, mdir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    merged = 0
+    for bi, bin_gids in enumerate(bins):
+        bin_t0 = time.time()
+        old_dirs = [os.path.join(data_dir, f"commit={g:05d}")
+                    for g in bin_gids]
+        summary["files_before"] += _count_part_files(spark, old_dirs)
+        bin_bytes = sum(out_bytes[g] for g in bin_gids)
+        new_gid = next_gid
+        next_gid += 1
+        new_dir = os.path.join(data_dir, f"commit={new_gid:05d}")
+        df = (spark.read.option("basePath", data_dir).parquet(*old_dirs)
+              .drop("commit"))
+        n_files = max(1, -(-bin_bytes // target_file_bytes))
+        enc.write_encoded(df.coalesce(n_files), new_dir,
+                          partition_by=["source"], statistics=statistics)
+        # the rewrite must reproduce every bucket EXACTLY before publish
+        old_rows = [r for g in bin_gids for r in groups[g]]
+        expect = {int(r["bucket"]): (int(r["n_rows"]),
+                                     int(r["block_crc"] or 0))
+                  for r in old_rows if int(r["n_rows"])}
+        got = {int(r["bucket"]): (int(r["n_rows"]), int(r["block_crc"]))
+               for r in spark.read.parquet(new_dir).groupBy("bucket").agg(
+                   F.count("*").alias("n_rows"),
+                   F.sum(F.crc32(F.col("block"))).alias("block_crc"))
+               .collect()}
+        if got != expect:
+            raise IOError(
+                f"compaction read-back mismatch for groups {bin_gids}: "
+                "rewritten data does not reproduce the manifested "
+                "(n_rows, block_crc) per bucket; the unpublished "
+                f"commit={new_gid:05d} dir is left for stale cleanup")
+        wall = time.time() - bin_t0
+        rows = [{
+            "bucket": int(r["bucket"]), "status": "done",
+            "n_rows": int(r["n_rows"]), "n_docs": int(r["n_docs"]),
+            "input_bytes": int(r["input_bytes"]),
+            "output_bytes": int(r["output_bytes"]),
+            "codec_hist": r["codec_hist"],
+            "block_crc": int(r["block_crc"] or 0),
+            "wall_sec": wall / max(len(old_rows), 1),
+            "ts": time.time(), "files": r["files"],
+        } for r in old_rows]
+        if fail_before_manifest_bin == bi:
+            raise RuntimeError(
+                "injected failure before compaction manifest publish")
+        _write_manifest_group(spark, out, new_gid, rows,
+                              supersedes=bin_gids)
+        if fail_before_gc_bin == bi:
+            raise RuntimeError("injected failure before compaction GC")
+        # GC: manifest first (its absence makes the dir stale on any
+        # re-run), then the dir — idempotent either way
+        for g, d in zip(bin_gids, old_dirs):
+            mfs.delete(Path(mdir, _manifest_group_name(g)), False)
+            dfs, djp, _ = _hadoop_fs(spark, d)
+            dfs.delete(djp, True)
+        summary["files_after"] += _count_part_files(spark, [new_dir])
+        summary["bins_merged"] += 1
+        summary["buckets_rewritten"] += len(rows)
+        summary["bytes_rewritten"] += bin_bytes
+        merged += len(bin_gids)
+    summary["groups_after"] = len(groups) - merged + summary["bins_merged"]
+    summary["wall_sec"] = time.time() - t0
+    return summary
 
 
 def verify_job(spark: SparkSession, source_df: DataFrame, out: str) -> dict:

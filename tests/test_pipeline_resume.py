@@ -497,3 +497,161 @@ def test_lock_heartbeat_touches_mtime_not_content(spark, tmp_path):
     finally:
         held.release()
     assert not os.path.exists(os.path.join(out, "job.lock"))
+
+
+# ---------------------------------------------------------------------------
+# Compaction (round 7): merge small commit groups, supersedes protocol
+# ---------------------------------------------------------------------------
+
+def _crc_sum(df):
+    return df.agg(F.sum(F.crc32("block"))).first()[0]
+
+
+def test_compact_merges_groups_exactly(spark, seq, seq_path, tmp_path):
+    """Happy path: many 1-2-bucket groups merge into one group with
+    fewer files; rows, per-block CRCs, manifest bucket rows, and the
+    decode verify are all preserved verbatim."""
+    out = str(tmp_path / "comp1")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=10,
+                            chunk_size=512, buckets_per_commit=2)
+    before = pl.read_encoded(spark, out)
+    n0, crc0 = before.count(), _crc_sum(before)
+    mrows0 = {r["bucket"]: (r["n_rows"], r["block_crc"], r["files"])
+              for r in pl.read_manifest(spark, out).collect()}
+    s = pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40)
+    assert s["groups_before"] == 5 and s["groups_after"] == 1
+    assert s["bins_merged"] == 1 and s["buckets_rewritten"] == 10
+    assert s["files_after"] < s["files_before"]
+    # exactly one group manifest and one commit dir remain
+    gfiles = [f for f in os.listdir(os.path.join(out, "manifest"))
+              if f.startswith("group-")]
+    assert len(gfiles) == 1
+    assert sorted(os.listdir(os.path.join(out, "data"))) == \
+        [gfiles[0].replace("group-", "commit=").replace(".json", "")]
+    after = pl.read_encoded(spark, out)
+    assert after.count() == n0 and _crc_sum(after) == crc0
+    # bucket rows (stats + file lineage) survive under the new group
+    mrows1 = {r["bucket"]: (r["n_rows"], r["block_crc"], r["files"])
+              for r in pl.read_manifest(spark, out).collect()}
+    assert mrows1 == mrows0
+    assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
+
+
+def test_compact_crash_before_publish_is_invisible(spark, seq, seq_path,
+                                                   tmp_path):
+    """Window 1: a crash after the new dir's data write but before the
+    manifest publish leaves readers on the OLD groups (manifest-driven
+    read) and an orphan dir the next run stale-cleans."""
+    out = str(tmp_path / "comp2")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                            chunk_size=512, buckets_per_commit=2)
+    n0 = pl.read_encoded(spark, out).count()
+    with pytest.raises(RuntimeError, match="before compaction manifest"):
+        pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40,
+                               fail_before_manifest_bin=0)
+    # the unpublished dir is on disk but not visible to readers
+    assert len(os.listdir(os.path.join(out, "data"))) == 4
+    assert pl.read_encoded(spark, out).count() == n0
+    s = pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40)
+    assert s["stale_commit_dirs_cleaned"] == 1
+    assert s["groups_before"] == 3 and s["groups_after"] == 1
+    assert pl.read_encoded(spark, out).count() == n0
+
+
+def test_compact_crash_before_gc_rolls_forward(spark, seq, seq_path,
+                                               tmp_path):
+    """Window 2: a crash after the manifest publish but before GC — the
+    supersedes list makes the old groups garbage: readers already see
+    only the new group (NO double count with both on disk), and any
+    subsequent job collects the leftovers."""
+    out = str(tmp_path / "comp3")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                            chunk_size=512, buckets_per_commit=2)
+    n0 = pl.read_encoded(spark, out).count()
+    with pytest.raises(RuntimeError, match="before compaction GC"):
+        pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40,
+                               fail_before_gc_bin=0)
+    # old dirs + new dir all on disk, but the read resolves to new only
+    assert len(os.listdir(os.path.join(out, "data"))) == 4
+    assert pl.read_encoded(spark, out).count() == n0
+    s = pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40)
+    assert s["superseded_groups_cleaned"] == 3
+    assert s["bins_merged"] == 0  # one live group left: nothing to merge
+    assert len(os.listdir(os.path.join(out, "data"))) == 1
+    assert pl.read_encoded(spark, out).count() == n0
+    assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
+
+
+def test_append_after_compact_no_id_collision(spark, seq, tmp_path):
+    """Compacted group ids and append bucket ids share one allocator
+    (`_max_allocated_id`): an append after compaction gets fresh ids,
+    resume semantics hold, and the union decodes exactly."""
+    src = str(tmp_path / "src_ac")
+    out = str(tmp_path / "out_ac")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    seq.filter(part == 0).repartition(4) \
+        .write.mode("overwrite").parquet(src)
+    pl.run_encode_job_files(spark, src, out, n_buckets=4, chunk_size=512,
+                            buckets_per_commit=1)
+    s = pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40)
+    assert s["groups_before"] == 4 and s["groups_after"] == 1
+    # compacted gid is 4 (1 + max bucket 3); the next append must skip it
+    seq.filter(part == 1).repartition(2) \
+        .write.mode("append").parquet(src)
+    s2 = pl.run_encode_job_files(spark, src, out, n_buckets=2,
+                                 chunk_size=512, append=True)
+    assert s2["processed_buckets"] == 2
+    gids = sorted(int(f[6:-5]) for f in
+                  os.listdir(os.path.join(out, "manifest"))
+                  if f.startswith("group-"))
+    assert len(gids) == len(set(gids)) == 2 and gids[0] == 4
+    assert gids[1] > 4
+    res = pl.verify_job(spark, seq, out)
+    assert res["n_mismatch"] == 0 and res["n_joined"] == N_ROWS
+    # and the whole thing compacts again to one group
+    s3 = pl.compact_encoded_job(spark, out,
+                                target_group_output_bytes=1 << 40)
+    assert s3["groups_after"] == 1
+    assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
+
+
+def test_compact_respects_target_and_singles(spark, seq, seq_path,
+                                             tmp_path):
+    """Bin packing: groups only merge while their combined manifested
+    output_bytes fit the target; a tiny target leaves everything alone
+    (bins of one group are not rewritten)."""
+    out = str(tmp_path / "comp4")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                            chunk_size=512, buckets_per_commit=2)
+    s = pl.compact_encoded_job(spark, out, target_group_output_bytes=1)
+    assert s["bins_merged"] == 0 and s["bytes_rewritten"] == 0
+    assert s["groups_before"] == 3 and s["groups_after"] == 3
+    # partial merge: a target one byte short of everything merges the
+    # first two groups and leaves the third alone
+    total = sum(sum(int(r["output_bytes"]) for r in rows)
+                for rows in pl._valid_group_manifests(spark, out)
+                .values())
+    s2 = pl.compact_encoded_job(
+        spark, out, target_group_output_bytes=total - 1)
+    assert s2["bins_merged"] == 1 and s2["groups_after"] == 2
+    assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
+
+
+def test_compact_holds_job_lock(spark, seq, seq_path, tmp_path):
+    """Compaction is a writer: it must refuse while another writer's
+    lock is live."""
+    out = str(tmp_path / "comp5")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=4,
+                            chunk_size=512, buckets_per_commit=2)
+    held = pl._JobLock(spark, out, lease_sec=30.0).acquire()
+    try:
+        with pytest.raises(RuntimeError, match="another writer holds"):
+            pl.compact_encoded_job(spark, out)
+    finally:
+        held.release()
