@@ -438,6 +438,24 @@ def main() -> None:
     extra["pipeline_file_commit_stale_cleaned"] = int(
         s_res.get("stale_commit_dirs_cleaned", 0))
 
+    # ---- q_pipeline_compact (extras): merge the 8 commit groups the
+    # full run just produced into one (the append-accretion maintenance
+    # op), with the row count certified unchanged across the swap
+    n_before = pl.read_encoded(spark, pipe_dir).count()
+    calibrate("q_pipeline_compact")
+    t0 = time.time()
+    s_cmp = pl.compact_encoded_job(spark, pipe_dir,
+                                   target_group_output_bytes=1 << 40)
+    extra["q_pipeline_compact_sec"] = round(time.time() - t0, 3)
+    extra["pipeline_compact_groups"] = [int(s_cmp["groups_before"]),
+                                        int(s_cmp["groups_after"])]
+    extra["pipeline_compact_files"] = [int(s_cmp["files_before"]),
+                                       int(s_cmp["files_after"])]
+    extra["pipeline_compact_bytes_rewritten"] = int(
+        s_cmp["bytes_rewritten"])
+    n_after = pl.read_encoded(spark, pipe_dir).count()
+    extra["pipeline_compact_rows_preserved"] = int(n_before == n_after)
+
     # ---- q_minhash_dedup (extras): LLM-pipeline op end-to-end with
     # shuffle-byte accounting. The sf documents are replicated 8x with a
     # one-word mutation (near-dup groups, the realistic dedup load);
@@ -742,6 +760,7 @@ def main() -> None:
         "host_noise_index_trimmed", "calib_gbps_median",
         "q_pipeline_encode_sec", "pipeline_overhead_vs_plain",
         "q_pipeline_resume_sec", "pipeline_resume_skipped_buckets",
+        "q_pipeline_compact_sec", "pipeline_compact_rows_preserved",
         "q_minhash_dedup_sec", "minhash_confirmed_pairs",
         "q_ivf_pq_query_sec", "q_ivf_float_query_sec",
         "ivf_pq_query_scan_bytes_1q", "ivf_pq_refine_scan_bytes_1q",

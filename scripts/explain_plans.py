@@ -444,6 +444,43 @@ def main() -> None:
         _sh.rmtree(seq_dir, ignore_errors=True)
         _sh.rmtree(out_dir, ignore_errors=True)
 
+    # 7. compaction snapshot read (round 7): with a published compaction
+    # whose GC was interrupted (old dirs + manifests still on disk), the
+    # manifest-driven read must scan ONLY the new group's dir — the
+    # supersedes swap is atomic for readers, garbage is invisible
+    import os as _os
+
+    seq_dir = _tf.mkdtemp(prefix="plans_cmp_")
+    out_dir = _tf.mkdtemp(prefix="plans_cmp_out_") + "/out"
+    try:
+        seq.limit(1500).repartition(4).write.mode("overwrite") \
+            .parquet(seq_dir)
+        pl.run_encode_job_files(spark, seq_dir, out_dir, n_buckets=4,
+                                chunk_size=4096, buckets_per_commit=2)
+        try:
+            pl.compact_encoded_job(spark, out_dir,
+                                   target_group_output_bytes=1 << 40,
+                                   fail_before_gc_bin=0)
+        except RuntimeError:
+            pass  # injected: publish done, GC skipped — garbage on disk
+        on_disk = sorted(_os.listdir(_os.path.join(out_dir, "data")))
+        p = plan_of(pl.read_encoded(spark, out_dir))
+        old_in_plan = [d for d in on_disk[:-1] if d in p]
+        sections.append((
+            "Compaction snapshot read: superseded dirs on disk, "
+            "invisible in the plan",
+            p,
+            ["commit dirs on disk: %s (first %d superseded, last is the "
+             "compacted group)" % (on_disk, len(on_disk) - 1),
+             "scan lists ONLY the live compacted dir (%s) -> %s"
+             % (on_disk[-1],
+                "PASS" if on_disk[-1] in p and not old_in_plan
+                else f"FAIL (superseded in plan: {old_in_plan})")],
+        ))
+    finally:
+        _sh.rmtree(seq_dir, ignore_errors=True)
+        _sh.rmtree(_os.path.dirname(out_dir), ignore_errors=True)
+
     lines = ["# PLANS — physical-plan evidence for the scale-critical properties\n",
              "Generated by scripts/explain_plans.py (sf0.01 inputs).\n"]
     for title, plan, checks in sections:
