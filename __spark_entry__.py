@@ -968,6 +968,58 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index growth without a rebuild (round 7, the index-side half of
+    the growing-corpus story; FAISS IndexIVF.add semantics): build the
+    IVF-PQ index on ~half the embeddings, `append_ivf_pq_index` the
+    rest under the FROZEN centroids/codebooks (staged write + per-file
+    rename publish, idempotent roll-forward — see the operator
+    docstring), then query the grown index. The verdict carries the
+    same brute-force recall-floor contract as ivf_pq_topk — brute force
+    runs over the FULL corpus, so recall holding proves appended
+    vectors are candidate-visible and exactly refinable — plus
+    integrity bits: every corpus row is in the index exactly once, and
+    the append actually moved files into live cells."""
+    import shutil
+
+    from parquet_playground_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    half1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    queries_df = emb.orderBy("vec_id").limit(20)
+    path = _scratch_dir("ivf_pq_app_idx")
+    try:
+        similarity.write_ivf_pq_index(half1, dim, path,
+                                      n_centroids=16, m=8)
+        s = similarity.append_ivf_pq_index(half2, dim, path)
+        cells = spark.read.parquet(f"{path}/cells")
+        n_emb = emb.count()
+        index_complete = int(
+            cells.count() == n_emb
+            and cells.select("vec_id").distinct().count() == n_emb)
+        append_moved = int(s["appended_rows"] > 0
+                           and s["files_moved"] > 0)
+        bf = similarity.brute_force_topk(emb, queries_df, k=5)
+        pq = similarity.ivf_pq_query(queries_df, dim, path, k=5,
+                                     nprobe=6, refine=8)
+        bfp = bf.select("query_id", "neighbor_id")
+        hits = bfp.join(pq.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi").count()
+        total = bfp.count()
+        n_queries = queries_df.count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_queries), int(total),
+          int(hits >= _IVF_RECALL_FLOOR * max(total, 1)),
+          index_complete, append_moved)],
+        "n_queries bigint, n_exact bigint, recall_ok bigint, "
+        "index_complete bigint, append_moved bigint",
+    )
+
+
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 affine embedding quantization (operators/quantize.py, round
     4): codes are JVM expressions the DuckDB oracle recomputes exactly
@@ -2067,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_index_topk": _q_ivf_index_topk,
         "ivf_pq_topk": _q_ivf_pq_topk,
+        "ivf_pq_append_topk": _q_ivf_pq_append_topk,
         "embedding_quantize": _q_embedding_quantize,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
@@ -2200,6 +2253,18 @@ WITH c AS (SELECT count(*) AS n FROM embeddings)
 SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
        CAST(least(5, n - 1) * least(20, n) AS BIGINT) AS n_exact,
        CAST(1 AS BIGINT) AS recall_ok
+FROM c
+""",
+        # grown index (build half + append half under the frozen model):
+        # same recall contract vs FULL-corpus brute force, plus the
+        # integrity bits (every row indexed exactly once, files moved)
+        "ivf_pq_append_topk": """
+WITH c AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
+       CAST(least(5, n - 1) * least(20, n) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS recall_ok,
+       CAST(1 AS BIGINT) AS index_complete,
+       CAST(1 AS BIGINT) AS append_moved
 FROM c
 """,
         # bss_doubles runs over the md5-derived histogram table

@@ -686,6 +686,25 @@ def main() -> None:
             if k in ae:
                 extra[f"append_econ_{k}"] = ae[k]
 
+    # ---- compaction-economics fold-in (round 7, the maintenance half
+    # of append: an append-accreted 24-group/200-file layout compacts
+    # to 1 group for a fraction of an encode) —
+    # scripts/rehearsal_compact.py
+    ce_path = Path(__file__).resolve().parent / "BENCH" / \
+        "compact_econ.json"
+    if ce_path.exists():
+        with open(ce_path) as fh:
+            ce = json.load(fh)
+        for k in ("groups_accreted", "compact_over_base_encode",
+                  "read_compacted_over_accreted",
+                  "scan_signature_preserved"):
+            if k in ce:
+                extra[f"compact_econ_{k}"] = ce[k]
+        if "compact_summary" in ce:
+            extra["compact_econ_files"] = [
+                ce["compact_summary"]["files_before"],
+                ce["compact_summary"]["files_after"]]
+
     # ---- streaming sessionizer state-scale extra (round-5): drain a
     # deterministic rotating-window stream one file per trigger and
     # report the state store's row curve — the claim under test is

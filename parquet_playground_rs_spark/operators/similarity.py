@@ -598,6 +598,53 @@ def _pq_decode_matrix(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pq_encoded_frame(units: DataFrame, C: np.ndarray,
+                      codebooks: np.ndarray, dim: int, unit_dtype: str,
+                      id_col: str, id_type: str) -> DataFrame:
+    """(id, pq_code, cell, unit) rows for `units` under a FIXED model
+    (C, codebooks) — the one corpus pass shared by `write_ivf_pq_index`
+    (initial build) and `append_ivf_pq_index` (growth under the frozen
+    model). Model matrices ride a broadcast into a mapInArrow kernel;
+    the plan stays model-size-independent."""
+    spark = units.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (np.ascontiguousarray(C, dtype=np.float64),
+         np.ascontiguousarray(codebooks, dtype=np.float64)))
+
+    def mapper(batches):
+        import pyarrow as pa
+
+        Cm, cbs = bc.value
+        halfm = (Cm * Cm).sum(axis=1) / 2.0
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            X = _vectors_to_matrix(batch.column("unit"), dim)
+            cell = (X @ Cm.T - halfm).argmax(axis=1)
+            codes = _pq_encode_matrix(X - Cm[cell], cbs)
+            n = batch.num_rows
+            blob = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None,
+                 pa.py_buffer(np.arange(0, (n + 1) * codes.shape[1],
+                                        codes.shape[1], dtype=np.int32)),
+                 pa.py_buffer(np.ascontiguousarray(codes))])
+            unit_col = batch.column("unit")
+            if unit_dtype == "float32":
+                unit_col = unit_col.cast(pa.list_(pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), blob,
+                 pa.array((cell + 1).astype(np.int32)),
+                 unit_col],
+                names=[id_col, "pq_code", "cell", "unit"])
+
+    unit_ddl = "array<float>" if unit_dtype == "float32" else "array<double>"
+    return units.mapInArrow(
+        mapper,
+        f"{id_col} {id_type}, pq_code binary, cell int, "
+        f"unit {unit_ddl}")
+
+
 def write_ivf_pq_index(corpus: DataFrame, dim: int, path: str,
                        n_centroids: int = 16, m: int = 8,
                        sample: int = 2048, iters: int = 8,
@@ -667,43 +714,9 @@ def write_ivf_pq_index(corpus: DataFrame, dim: int, path: str,
     cells = (X @ C.T - half).argmax(axis=1)
     codebooks = train_pq_codebooks(X - C[cells], m, iters=iters)
 
-    bc = spark.sparkContext.broadcast(
-        (np.ascontiguousarray(C, dtype=np.float64),
-         np.ascontiguousarray(codebooks, dtype=np.float64)))
     id_type = corpus.schema[id_col].dataType.simpleString()
-
-    def mapper(batches):
-        import pyarrow as pa
-
-        Cm, cbs = bc.value
-        halfm = (Cm * Cm).sum(axis=1) / 2.0
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            X = _vectors_to_matrix(batch.column("unit"), dim)
-            cell = (X @ Cm.T - halfm).argmax(axis=1)
-            codes = _pq_encode_matrix(X - Cm[cell], cbs)
-            n = batch.num_rows
-            blob = pa.BinaryArray.from_buffers(
-                pa.binary(), n,
-                [None,
-                 pa.py_buffer(np.arange(0, (n + 1) * codes.shape[1],
-                                        codes.shape[1], dtype=np.int32)),
-                 pa.py_buffer(np.ascontiguousarray(codes))])
-            unit_col = batch.column("unit")
-            if unit_dtype == "float32":
-                unit_col = unit_col.cast(pa.list_(pa.float32()))
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(id_col), blob,
-                 pa.array((cell + 1).astype(np.int32)),
-                 unit_col],
-                names=[id_col, "pq_code", "cell", "unit"])
-
-    unit_ddl = "array<float>" if unit_dtype == "float32" else "array<double>"
-    encoded = units.mapInArrow(
-        mapper,
-        f"{id_col} {id_type}, pq_code binary, cell int, "
-        f"unit {unit_ddl}")
+    encoded = _pq_encoded_frame(units, C, codebooks, dim, unit_dtype,
+                                id_col, id_type)
     # one file per cell dir per shuffle partition (same rebalance trade
     # as write_ivf_index)
     (encoded.repartition(F.col("cell"))
@@ -720,6 +733,124 @@ def write_ivf_pq_index(corpus: DataFrame, dim: int, path: str,
         cb_rows, "subspace int, code int, weights array<double>") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     return C, codebooks
+
+
+def _publish_staged_cells(spark, cells_dir: str, tmp_dir: str,
+                          fail_after_moves: int | None = None) -> int:
+    """Move a staged append's cell files into the live index; returns
+    the number of files moved. Idempotent roll-forward: a staged dir
+    WITHOUT ``_SUCCESS`` is a torn write and is deleted; one WITH it is
+    published to completion (renames are per-file, part-file basenames
+    are write-job-unique, and a file already moved is simply absent
+    from the stage on re-entry), then the stage dir is dropped. A crash
+    anywhere re-enters this function on the next append call."""
+    from ..plans.pipeline import _hadoop_fs
+
+    fs, tjp, jvm = _hadoop_fs(spark, tmp_dir)
+    if not fs.exists(tjp):
+        return 0
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(tmp_dir, "_SUCCESS")):
+        fs.delete(tjp, True)
+        return 0
+    moves = 0
+    for st in fs.listStatus(tjp):
+        cname = st.getPath().getName()
+        if not cname.startswith("cell="):
+            continue
+        dst_cell = Path(cells_dir, cname)
+        fs.mkdirs(dst_cell)
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if fname.startswith(("_", ".")):
+                continue
+            if fail_after_moves is not None and moves >= fail_after_moves:
+                raise RuntimeError(
+                    "injected failure mid-publish of staged index append")
+            if not fs.rename(f.getPath(), Path(dst_cell, fname)):
+                raise IOError(
+                    f"index-append publish: rename failed for {fname}")
+            moves += 1
+    fs.delete(tjp, True)
+    return moves
+
+
+def append_ivf_pq_index(new_corpus: DataFrame, dim: int, path: str,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        fail_after_moves: int | None = None) -> dict:
+    """Add vectors to a persisted IVF-PQ index WITHOUT a rebuild — the
+    index-side half of the growing-corpus story (the encode pipeline's
+    ``append=True``; FAISS's ``IndexIVF.add`` semantics). The coarse
+    centroids and PQ codebooks are FROZEN: new vectors are
+    unit-normalized, assigned to existing cells, residual-encoded with
+    the existing codebooks (the same `_pq_encoded_frame` pass as the
+    build), and their files land in the existing ``cell=<j>/``
+    partitions, so `ivf_pq_query` needs no changes — probed-cell
+    pruning, ADC scoring, and exact refine see old and new rows alike.
+
+    Freezing the model is the standard trade: identically-distributed
+    growth quantizes as well as the original corpus (the codebooks were
+    trained on a sample of the same distribution), while a DRIFTED
+    distribution degrades cell balance and ADC accuracy — recall is
+    monotone-recoverable via nprobe/refine, but the durable fix is a
+    rebuild. Callers own id uniqueness across appends (duplicate ids
+    would produce duplicate candidates, exactly as in the encode
+    pipeline's input contract).
+
+    Crash-safe publish: the encoded batch is staged as a complete
+    partitioned write under ``path/cells_append_tmp`` (its ``_SUCCESS``
+    is the stage commit), then per-file renames move it into the live
+    cell dirs and the stage dir is dropped. Any prior interrupted
+    append is rolled forward (or, if torn pre-``_SUCCESS``, discarded)
+    on entry, so retries never duplicate rows; a reader mid-publish
+    sees a subset of the NEW vectors (never duplicates, never missing
+    old ones) — acceptable for ANN search and called out here. The
+    stored refine width (float32/float64) is read from the live index
+    schema so appended files always match. Returns
+    ``{"appended_rows", "files_moved", "cells_touched",
+    "recovered_moves"}``."""
+    spark = new_corpus.sparkSession
+    cells_dir = f"{path}/cells"
+    tmp_dir = f"{path}/cells_append_tmp"
+    recovered = _publish_staged_cells(spark, cells_dir, tmp_dir)
+    C = read_ivf_centroids(spark, path)
+    codebooks = read_pq_codebooks(spark, path)
+    if dim != C.shape[1]:
+        raise ValueError(
+            f"dim {dim} does not match the index's centroid width "
+            f"{C.shape[1]}")
+    live = spark.read.parquet(cells_dir)
+    live_types = dict(live.dtypes)
+    unit_dtype = ("float32" if live_types["unit"] == "array<float>"
+                  else "float64")
+    id_type = new_corpus.schema[id_col].dataType.simpleString()
+    if live_types[id_col] != id_type:
+        raise ValueError(
+            f"id column {id_col!r} is {id_type} in the new corpus but "
+            f"{live_types[id_col]} in the index")
+    units = with_unit_vectors(
+        new_corpus.withColumn(vec_col, _require_vector(vec_col)), vec_col
+    ).select(F.col(id_col), F.col("unit"))
+    encoded = _pq_encoded_frame(units, C, codebooks, dim, unit_dtype,
+                                id_col, id_type)
+    (encoded.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(tmp_dir))
+    from ..plans.pipeline import _hadoop_fs
+
+    fs, tjp, _ = _hadoop_fs(spark, tmp_dir)
+    has_cells = any(st.getPath().getName().startswith("cell=")
+                    for st in fs.listStatus(tjp))
+    if has_cells:
+        staged = spark.read.parquet(tmp_dir)
+        n_rows = staged.count()
+        n_cells = staged.select("cell").distinct().count()
+    else:  # empty input batch: nothing staged beyond _SUCCESS
+        n_rows = n_cells = 0
+    moved = _publish_staged_cells(spark, cells_dir, tmp_dir,
+                                  fail_after_moves)
+    return {"appended_rows": int(n_rows), "files_moved": int(moved),
+            "cells_touched": int(n_cells),
+            "recovered_moves": int(recovered)}
 
 
 def read_pq_codebooks(spark, path: str) -> np.ndarray:

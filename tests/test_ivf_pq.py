@@ -289,3 +289,101 @@ def test_pq_float32_refine_column(spark, emb, tmp_path):
     bf = {(r["query_id"], r["neighbor_id"])
           for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
     assert len(set(r32) & bf) >= 0.6 * len(bf)
+
+
+# ---------------------------------------------------------------------------
+# Index append (round 7): grow a persisted index under the frozen model
+# ---------------------------------------------------------------------------
+
+def test_pq_append_grows_index_and_queries_see_it(spark, emb, tmp_path):
+    """Build on half the corpus, append the other half: the index holds
+    every row exactly once, appended vectors are findable (an appended
+    vector queried by itself is its own top-1 at cosine 1.0 — its cell
+    is the query's best cell, and refine is exact), and the appended
+    files carry the same schema/cell layout the query path prunes on."""
+    path = str(tmp_path / "idx_append")
+    half1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    similarity.write_ivf_pq_index(half1, DIM, path, n_centroids=16, m=8)
+    s = similarity.append_ivf_pq_index(half2, DIM, path)
+    assert s["appended_rows"] == half2.count()
+    assert s["files_moved"] > 0 and s["recovered_moves"] == 0
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    queries = half2.orderBy("vec_id").limit(8) \
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    top1 = similarity.ivf_pq_query(queries, DIM, path, k=3, nprobe=4) \
+        .filter(F.col("rank") == 1)
+    for r in top1.collect():
+        assert r["neighbor_id"] == r["query_id"] - 1_000_000
+        # float32-sourced embeddings: unit norms are 1 +/- ~1e-8, so the
+        # exact self-cosine is 1.0 within that, not bit-exact 1.0
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pq_append_crash_mid_publish_rolls_forward(spark, emb, tmp_path):
+    """A crash during the per-file publish leaves a SUBSET of the new
+    vectors live (never duplicates); the next append call completes the
+    staged publish before doing its own work."""
+    path = str(tmp_path / "idx_crash")
+    half1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    similarity.write_ivf_pq_index(half1, DIM, path, n_centroids=16, m=8)
+    n1, n_all = half1.count(), emb.count()
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        similarity.append_ivf_pq_index(half2, DIM, path,
+                                       fail_after_moves=2)
+    mid = spark.read.parquet(f"{path}/cells")
+    assert n1 <= mid.count() < n_all
+    assert mid.select("vec_id").distinct().count() == mid.count()
+    s = similarity.append_ivf_pq_index(half2.limit(0), DIM, path)
+    assert s["recovered_moves"] > 0 and s["appended_rows"] == 0
+    done = spark.read.parquet(f"{path}/cells")
+    assert done.count() == n_all
+    assert done.select("vec_id").distinct().count() == n_all
+
+
+def test_pq_append_preserves_refine_width_and_torn_stage(spark, emb,
+                                                         tmp_path):
+    """Appends to a float32-refine index stay float32 (the width is
+    read from the live schema); a torn stage (no _SUCCESS) is discarded
+    on the next call, not published."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx_f32")
+    half1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    similarity.write_ivf_pq_index(half1, DIM, path, n_centroids=16, m=8,
+                                  unit_dtype="float32")
+    # torn stage: files but no _SUCCESS — must be discarded, not moved
+    tmp = f"{path}/cells_append_tmp"
+    os.makedirs(f"{tmp}/cell=1")
+    open(f"{tmp}/cell=1/part-torn.parquet", "wb").write(b"junk")
+    n1 = half1.count()
+    s = similarity.append_ivf_pq_index(half2, DIM, path)
+    assert s["recovered_moves"] == 0 and not os.path.exists(tmp)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count() and n1 < emb.count()
+    assert dict(cells.dtypes)["unit"] == "array<float>"
+    # and the queries still find the appended vectors over the mixed
+    # files (ids offset: the ANN contract excludes self-matches)
+    q = half2.orderBy("vec_id").limit(4) \
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    res = similarity.ivf_pq_query(q, DIM, path, k=2, nprobe=4) \
+        .filter(F.col("rank") == 1)
+    for r in res.collect():
+        assert r["neighbor_id"] == r["query_id"] - 1_000_000
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+    shutil.rmtree(path)
+
+
+def test_pq_append_rejects_wrong_dim_and_id_type(spark, emb, tmp_path):
+    path = str(tmp_path / "idx_guard")
+    similarity.write_ivf_pq_index(emb, DIM, path, n_centroids=16, m=8)
+    with pytest.raises(ValueError, match="centroid width"):
+        similarity.append_ivf_pq_index(emb, DIM * 2, path)
+    wrong = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(ValueError, match="id column"):
+        similarity.append_ivf_pq_index(wrong, DIM, path)
