@@ -686,6 +686,20 @@ def main() -> None:
             if k in ae:
                 extra[f"append_econ_{k}"] = ae[k]
 
+    # ---- index-append fold-in (round 7: a grown IVF-PQ index — half
+    # built, half appended under the frozen model — holds recall within
+    # ~5pp of the full build at the same nprobe, recoverable via
+    # nprobe; append costs ~0.2x a build) — scripts/rehearsal_ann_append.py
+    aa_path = Path(__file__).resolve().parent / "BENCH" / \
+        "ann_append.json"
+    if aa_path.exists():
+        with open(aa_path) as fh:
+            aa = json.load(fh)
+        for k in ("recall_at_10", "full_build_recall_at_10",
+                  "append_over_half_build", "exactly_once"):
+            if k in aa:
+                extra[f"ann_append_{k}"] = aa[k]
+
     # ---- compaction-economics fold-in (round 7, the maintenance half
     # of append: an append-accreted 24-group/200-file layout compacts
     # to 1 group for a fraction of an encode) —

@@ -788,11 +788,14 @@ def append_ivf_pq_index(new_corpus: DataFrame, dim: int, path: str,
     partitions, so `ivf_pq_query` needs no changes — probed-cell
     pruning, ADC scoring, and exact refine see old and new rows alike.
 
-    Freezing the model is the standard trade: identically-distributed
-    growth quantizes as well as the original corpus (the codebooks were
-    trained on a sample of the same distribution), while a DRIFTED
-    distribution degrades cell balance and ADC accuracy — recall is
-    monotone-recoverable via nprobe/refine, but the durable fix is a
+    Freezing the model is the standard trade, and it is MEASURED
+    (scripts/rehearsal_ann_append.py, BENCH/ann_append.json): at 1M
+    vectors / 256 cells, a half-built-then-half-appended index holds
+    recall@10 0.8875 vs the full-build's 0.9344 at nprobe 8 (the model
+    saw only half the distribution's sample), recovering to 0.994 at
+    nprobe 32 — recall is monotone-recoverable via nprobe/refine, and
+    the append itself cost 0.19x the half build (no training pass). A
+    DRIFTED distribution degrades further; the durable fix is a
     rebuild. Callers own id uniqueness across appends (duplicate ids
     would produce duplicate candidates, exactly as in the encode
     pipeline's input contract).
