@@ -777,7 +777,8 @@ def _publish_staged_cells(spark, cells_dir: str, tmp_dir: str,
 
 def append_ivf_pq_index(new_corpus: DataFrame, dim: int, path: str,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        fail_after_moves: int | None = None) -> dict:
+                        fail_after_moves: int | None = None,
+                        lock_lease_sec: float = 60.0) -> dict:
     """Add vectors to a persisted IVF-PQ index WITHOUT a rebuild — the
     index-side half of the growing-corpus story (the encode pipeline's
     ``append=True``; FAISS's ``IndexIVF.add`` semantics). The coarse
@@ -809,10 +810,28 @@ def append_ivf_pq_index(new_corpus: DataFrame, dim: int, path: str,
     sees a subset of the NEW vectors (never duplicates, never missing
     old ones) — acceptable for ANN search and called out here. The
     stored refine width (float32/float64) is read from the live index
-    schema so appended files always match. Returns
+    schema so appended files always match. Appends are single-writer:
+    the same ``job.lock`` lease as the encode pipeline (held under
+    ``path/``) makes a concurrent second appender fail loudly instead
+    of overwriting the first one's stage dir mid-publish. Returns
     ``{"appended_rows", "files_moved", "cells_touched",
     "recovered_moves"}``."""
+    from ..plans.pipeline import _JobLock
+
     spark = new_corpus.sparkSession
+    lock = _JobLock(spark, path, lease_sec=lock_lease_sec).acquire()
+    ok = False
+    try:
+        result = _append_ivf_pq_locked(spark, new_corpus, dim, path,
+                                       id_col, vec_col, fail_after_moves)
+        ok = True
+        return result
+    finally:
+        lock.release(raise_on_stolen=ok)
+
+
+def _append_ivf_pq_locked(spark, new_corpus, dim, path, id_col, vec_col,
+                          fail_after_moves) -> dict:
     cells_dir = f"{path}/cells"
     tmp_dir = f"{path}/cells_append_tmp"
     recovered = _publish_staged_cells(spark, cells_dir, tmp_dir)

@@ -387,3 +387,18 @@ def test_pq_append_rejects_wrong_dim_and_id_type(spark, emb, tmp_path):
     wrong = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
     with pytest.raises(ValueError, match="id column"):
         similarity.append_ivf_pq_index(wrong, DIM, path)
+
+
+def test_pq_append_holds_writer_lock(spark, emb, tmp_path):
+    """A concurrent second appender must refuse (both would stage into
+    one tmp dir and corrupt each other's publish)."""
+    from parquet_playground_rs_spark.plans.pipeline import _JobLock
+
+    path = str(tmp_path / "idx_lock")
+    similarity.write_ivf_pq_index(emb, DIM, path, n_centroids=16, m=8)
+    held = _JobLock(spark, path, lease_sec=30.0).acquire()
+    try:
+        with pytest.raises(RuntimeError, match="another writer holds"):
+            similarity.append_ivf_pq_index(emb.limit(5), DIM, path)
+    finally:
+        held.release()
