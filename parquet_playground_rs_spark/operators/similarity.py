@@ -735,22 +735,62 @@ def write_ivf_pq_index(corpus: DataFrame, dim: int, path: str,
     return C, codebooks
 
 
+_STAGE_FP_NAME = "_BATCH_FP.json"
+
+
+def _batch_fingerprint(df: DataFrame, id_col: str) -> dict:
+    """Order-independent id fingerprint of an append batch: row count +
+    two prime-modded xxhash64 sums. Written into the stage dir so a
+    crashed append retried WITH THE SAME BATCH is recognized and
+    resolved by finishing the staged publish instead of re-encoding
+    (which would index every vector twice)."""
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64(F.col(id_col)),
+                     F.lit(1_000_000_007))).alias("h1"),
+        F.sum(F.pmod(F.xxhash64(F.col(id_col), F.lit(7919)),
+                     F.lit(1_000_000_009))).alias("h2")).first()
+    return {"n_rows": int(r["n"]), "h1": int(r["h1"] or 0),
+            "h2": int(r["h2"] or 0)}
+
+
+def _read_stage_fingerprint(spark, tmp_dir: str) -> dict | None:
+    """The staged batch's fingerprint, or None if the stage is absent
+    or torn (no _SUCCESS / no fingerprint — both mean the staging never
+    completed, since the fingerprint is written right after the staged
+    data write)."""
+    import json as _json
+
+    from ..plans.pipeline import _hadoop_fs, _read_small_file
+
+    fs, tjp, jvm = _hadoop_fs(spark, tmp_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(tjp) or not fs.exists(Path(tmp_dir, "_SUCCESS")):
+        return None
+    raw = _read_small_file(spark, f"{tmp_dir}/{_STAGE_FP_NAME}")
+    return None if raw is None else _json.loads(raw)
+
+
 def _publish_staged_cells(spark, cells_dir: str, tmp_dir: str,
                           fail_after_moves: int | None = None) -> int:
     """Move a staged append's cell files into the live index; returns
     the number of files moved. Idempotent roll-forward: a staged dir
-    WITHOUT ``_SUCCESS`` is a torn write and is deleted; one WITH it is
-    published to completion (renames are per-file, part-file basenames
-    are write-job-unique, and a file already moved is simply absent
-    from the stage on re-entry), then the stage dir is dropped. A crash
-    anywhere re-enters this function on the next append call."""
+    WITHOUT ``_SUCCESS`` + fingerprint is a torn staging and is deleted
+    (nothing of it was ever published); a complete one is published to
+    completion — renames are per-file, part-file basenames are
+    write-job-unique, a file already moved is absent from the stage on
+    re-entry, and a file present on BOTH sides (an object-store
+    copy+delete rename that crashed between the copy and the delete)
+    counts as moved and only the stage copy is dropped — then the stage
+    dir is removed. A crash anywhere re-enters this function on the
+    next append call."""
     from ..plans.pipeline import _hadoop_fs
 
     fs, tjp, jvm = _hadoop_fs(spark, tmp_dir)
     if not fs.exists(tjp):
         return 0
     Path = jvm.org.apache.hadoop.fs.Path
-    if not fs.exists(Path(tmp_dir, "_SUCCESS")):
+    if _read_stage_fingerprint(spark, tmp_dir) is None:
         fs.delete(tjp, True)
         return 0
     moves = 0
@@ -767,7 +807,13 @@ def _publish_staged_cells(spark, cells_dir: str, tmp_dir: str,
             if fail_after_moves is not None and moves >= fail_after_moves:
                 raise RuntimeError(
                     "injected failure mid-publish of staged index append")
-            if not fs.rename(f.getPath(), Path(dst_cell, fname)):
+            dst = Path(dst_cell, fname)
+            if fs.exists(dst):
+                # S3A rename = copy+delete; a crash between the two
+                # leaves the file live AND staged — already published,
+                # drop the stage copy instead of wedging on the rename
+                fs.delete(f.getPath(), False)
+            elif not fs.rename(f.getPath(), dst):
                 raise IOError(
                     f"index-append publish: rename failed for {fname}")
             moves += 1
@@ -801,14 +847,21 @@ def append_ivf_pq_index(new_corpus: DataFrame, dim: int, path: str,
     would produce duplicate candidates, exactly as in the encode
     pipeline's input contract).
 
-    Crash-safe publish: the encoded batch is staged as a complete
-    partitioned write under ``path/cells_append_tmp`` (its ``_SUCCESS``
-    is the stage commit), then per-file renames move it into the live
-    cell dirs and the stage dir is dropped. Any prior interrupted
-    append is rolled forward (or, if torn pre-``_SUCCESS``, discarded)
-    on entry, so retries never duplicate rows; a reader mid-publish
-    sees a subset of the NEW vectors (never duplicates, never missing
-    old ones) — acceptable for ANN search and called out here. The
+    Crash-safe publish, EXACTLY-ONCE under same-batch retry: the
+    encoded batch is staged as a complete partitioned write under
+    ``path/cells_append_tmp``, stamped with an order-independent id
+    fingerprint of the batch (the fingerprint file, written after the
+    data, is the stage commit — ``_SUCCESS`` alone without it reads as
+    torn and is discarded). On entry, a pending stage whose fingerprint
+    MATCHES the incoming batch means the caller is retrying a crashed
+    append of the same vectors: the staged publish is finished and the
+    function returns WITHOUT re-encoding (re-encoding would index the
+    batch twice); a pending stage of a different batch is finished
+    first, then the new batch proceeds. Per-file renames tolerate the
+    object-store copy+delete crash shape (a file live AND staged counts
+    as moved; the stage copy is dropped). A reader mid-publish sees a
+    subset of the NEW vectors (never duplicates, never missing old
+    ones) — acceptable for ANN search and called out here. The
     stored refine width (float32/float64) is read from the live index
     schema so appended files always match. Appends are single-writer:
     the same ``job.lock`` lease as the encode pipeline (held under
@@ -832,8 +885,29 @@ def append_ivf_pq_index(new_corpus: DataFrame, dim: int, path: str,
 
 def _append_ivf_pq_locked(spark, new_corpus, dim, path, id_col, vec_col,
                           fail_after_moves) -> dict:
+    import json as _json
+
+    from ..plans.pipeline import _write_small_file
+
     cells_dir = f"{path}/cells"
     tmp_dir = f"{path}/cells_append_tmp"
+    # retry safety: if a COMPLETE stage is pending and its fingerprint
+    # matches this batch, the caller is retrying a crashed append of
+    # the SAME vectors — finish the staged publish and return, never
+    # re-encode (that would index the batch twice). A pending stage of
+    # a DIFFERENT batch is finished first (recovered), then this batch
+    # proceeds normally.
+    incoming_fp = _batch_fingerprint(new_corpus, id_col)
+    staged_fp = _read_stage_fingerprint(spark, tmp_dir)
+    if staged_fp is not None and all(
+            staged_fp.get(k) == incoming_fp[k]
+            for k in ("n_rows", "h1", "h2")):
+        moved = _publish_staged_cells(spark, cells_dir, tmp_dir,
+                                      fail_after_moves)
+        return {"appended_rows": int(staged_fp["n_rows"]),
+                "files_moved": int(moved),
+                "cells_touched": int(staged_fp.get("n_cells", 0)),
+                "recovered_moves": 0, "retried_same_batch": True}
     recovered = _publish_staged_cells(spark, cells_dir, tmp_dir)
     C = read_ivf_centroids(spark, path)
     codebooks = read_pq_codebooks(spark, path)
@@ -868,6 +942,11 @@ def _append_ivf_pq_locked(spark, new_corpus, dim, path, id_col, vec_col,
         n_cells = staged.select("cell").distinct().count()
     else:  # empty input batch: nothing staged beyond _SUCCESS
         n_rows = n_cells = 0
+    # fingerprint LAST: its presence is what marks the stage complete
+    # (a stage with _SUCCESS but no fingerprint is discarded as torn),
+    # so the same-batch-retry check above can trust what it reads
+    _write_small_file(spark, f"{tmp_dir}/{_STAGE_FP_NAME}",
+                      _json.dumps({**incoming_fp, "n_cells": int(n_cells)}))
     moved = _publish_staged_cells(spark, cells_dir, tmp_dir,
                                   fail_after_moves)
     return {"appended_rows": int(n_rows), "files_moved": int(moved),

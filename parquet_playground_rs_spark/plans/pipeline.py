@@ -891,14 +891,19 @@ def _clean_stale_commit_dirs(spark: SparkSession, out: str) -> tuple[int, int]:
     Second pass (compaction GC roll-forward): any valid group that is
     SUPERSEDED by another valid group's manifest had its data replaced
     by a published compaction — its manifest and dir are garbage that a
-    crash between compaction's publish and its GC may have left behind.
+    crash between compaction's publish and its GC may have left behind
+    (or that ``compact_encoded_job(gc=False)`` deferred on purpose).
     Delete manifest first (the dir then reads as stale on any re-run),
     then the dir. Returns ``(stale_dirs_removed,
-    superseded_groups_collected)``."""
+    superseded_groups_collected, live_groups)`` where live_groups is
+    the {group_id: manifest rows} of the valid, non-superseded groups
+    that survive the cleanup — computed from the SAME single manifest
+    read the cleanup itself uses, so callers holding the job lock
+    (encode resume, compaction) don't re-read the manifest dir."""
     data_dir = os.path.join(out, "data")
     fs, jp, jvm = _hadoop_fs(spark, data_dir)
     if not fs.exists(jp):
-        return 0, 0
+        return 0, 0, {}
     mdir = _manifest_dir(out)
     mfs, mjp, _ = _hadoop_fs(spark, mdir)
     present = set()
@@ -906,14 +911,18 @@ def _clean_stale_commit_dirs(spark: SparkSession, out: str) -> tuple[int, int]:
         present = {st.getPath().getName() for st in mfs.listStatus(mjp)}
     valid: set[str] = set()
     superseded: set[int] = set()
+    groups: dict[int, list[dict]] = {}
     flagged = _read_manifest_flagged(spark, out)
     if flagged is not None:
         for r in (flagged.filter(F.col("_file_valid"))
-                  .select("_mf", "supersedes").collect()):
-            valid.add(r["_mf"].rsplit("/", 1)[-1])
+                  .select(*_MANIFEST_COLS, "_mf").collect()):
+            name = r["_mf"].rsplit("/", 1)[-1]
+            valid.add(name)
             if r["supersedes"]:
                 superseded.update(
                     int(g) for g in json.loads(r["supersedes"]))
+            if name.startswith("group-") and name.endswith(".json"):
+                groups.setdefault(int(name[6:-5]), []).append(r.asDict())
     removed = 0
     Path = jvm.org.apache.hadoop.fs.Path
     for st in fs.listStatus(jp):
@@ -948,7 +957,8 @@ def _clean_stale_commit_dirs(spark: SparkSession, out: str) -> tuple[int, int]:
             fs.delete(dpath, True)
         if had_manifest or had_dir:
             collected += 1
-    return removed, collected
+        groups.pop(gid, None)
+    return removed, collected, groups
 
 
 def run_encode_job_files(
@@ -1067,7 +1077,7 @@ def _run_encode_job_files_locked(
     for v in versions:
         buckets.update(_version_buckets(v))
     sizes = {f: s for v in versions for f, s in v["files"]}
-    stale, collected = _clean_stale_commit_dirs(spark, out)
+    stale, collected, _ = _clean_stale_commit_dirs(spark, out)
     done = completed_buckets(spark, out)
     pending = [b for b in sorted(buckets) if b not in done]
     summary = {"resumed_buckets": len(done), "processed_buckets": 0,
@@ -1276,9 +1286,13 @@ def read_encoded(spark: SparkSession, out: str) -> DataFrame:
     read is MANIFEST-DRIVEN: only the commit dirs of valid,
     non-superseded groups are scanned — an Iceberg/Delta-shaped
     snapshot read. That makes `compact_encoded_job`'s publish atomic
-    for readers (one manifest rename flips which dirs are live) and
-    keeps a reader launched between a crash and the next cleanup from
-    seeing an orphaned commit dir. Outputs without group manifests
+    for reads that RESOLVE here after the publish (one manifest rename
+    flips which dirs are live) and keeps a reader launched between a
+    crash and the next cleanup from seeing an orphaned commit dir. A
+    plan built BEFORE a publish still points at the old dirs — safe
+    while they exist, i.e. always under `compact_encoded_job(gc=False)`
+    + deferred `vacuum_encoded`, but not across an immediate-GC compact
+    (see the reader-race note there). Outputs without group manifests
     (hash-bucket mode, plain `write_encoded` dirs) keep the whole-dir
     read."""
     data_dir = os.path.join(out, "data")
@@ -1315,6 +1329,7 @@ def compact_encoded_job(
     fail_before_manifest_bin: int | None = None,
     fail_before_gc_bin: int | None = None,
     lock_lease_sec: float = 60.0,
+    gc: bool = True,
 ) -> dict:
     """Merge small commit groups into larger ones — the maintenance
     half of `append=True`. A long-lived growing corpus accretes one
@@ -1338,6 +1353,16 @@ def compact_encoded_job(
        run (and tolerated meanwhile — superseded groups are dropped at
        read time even with their files still on disk).
 
+    READER RACE with immediate GC (`gc=True`, the default): the swap
+    is atomic only for reads that RESOLVE their file list after the
+    publish. A reader whose plan was built before the publish (or that
+    is mid-scan) still points at the old dirs, and step 3 deletes them
+    out from under it — fine for this engine's single-process jobs,
+    NOT fine with concurrent readers. For those, run with ``gc=False``
+    (superseded pairs stay on disk, invisible to manifest-driven
+    reads) and reclaim later with `vacuum_encoded` once in-flight
+    readers have drained — the Iceberg expire-snapshots split.
+
     The rewrite is verified before publish: a read-back of the new dir
     must reproduce every bucket's manifested (n_rows, block_crc)
     exactly, else the job raises and the unpublished dir is garbage.
@@ -1355,26 +1380,47 @@ def compact_encoded_job(
     try:
         summary = _compact_locked(
             spark, out, target_group_output_bytes, target_file_bytes,
-            statistics, fail_before_manifest_bin, fail_before_gc_bin)
+            statistics, fail_before_manifest_bin, fail_before_gc_bin,
+            gc)
         ok = True
         return summary
     finally:
         job_lock.release(raise_on_stolen=ok)
 
 
+def vacuum_encoded(spark: SparkSession, out: str,
+                   lock_lease_sec: float = 60.0) -> int:
+    """Reclaim the superseded (manifest, dir) pairs a
+    ``compact_encoded_job(..., gc=False)`` deferred — run it once
+    in-flight readers of the pre-compaction snapshot have drained.
+    Also collects any stale/orphaned commit dirs it finds. Returns the
+    number of superseded groups collected."""
+    job_lock = _JobLock(spark, out, lock_lease_sec).acquire()
+    ok = False
+    try:
+        _, collected, _ = _clean_stale_commit_dirs(spark, out)
+        ok = True
+        return collected
+    finally:
+        job_lock.release(raise_on_stolen=ok)
+
+
 def _compact_locked(spark, out, target_group_output_bytes,
                     target_file_bytes, statistics,
-                    fail_before_manifest_bin, fail_before_gc_bin) -> dict:
+                    fail_before_manifest_bin, fail_before_gc_bin,
+                    gc) -> dict:
     t0 = time.time()
     data_dir = os.path.join(out, "data")
-    stale, collected = _clean_stale_commit_dirs(spark, out)
-    groups = _valid_group_manifests(spark, out)
+    # one manifest read serves the cleanup AND the live-group plan (the
+    # job lock guarantees nothing changes in between)
+    stale, collected, groups = _clean_stale_commit_dirs(spark, out)
     summary = {"groups_before": len(groups), "groups_after": len(groups),
                "bins_merged": 0, "buckets_rewritten": 0,
                "bytes_rewritten": 0, "files_before": 0, "files_after": 0,
                "stale_commit_dirs_cleaned": stale,
-               "superseded_groups_cleaned": collected, "wall_sec": 0.0}
-    live = sorted(_live_group_ids(groups))
+               "superseded_groups_cleaned": collected,
+               "gc_deferred": not gc, "wall_sec": 0.0}
+    live = sorted(groups)
     if len(live) < 2:
         summary["wall_sec"] = time.time() - t0
         return summary
@@ -1457,12 +1503,15 @@ def _compact_locked(spark, out, target_group_output_bytes,
                               supersedes=bin_gids)
         if fail_before_gc_bin == bi:
             raise RuntimeError("injected failure before compaction GC")
-        # GC: manifest first (its absence makes the dir stale on any
-        # re-run), then the dir — idempotent either way
-        for g, d in zip(bin_gids, old_dirs):
-            mfs.delete(Path(mdir, _manifest_group_name(g)), False)
-            dfs, djp, _ = _hadoop_fs(spark, d)
-            dfs.delete(djp, True)
+        if gc:
+            # GC: manifest first (its absence makes the dir stale on
+            # any re-run), then the dir — idempotent either way. With
+            # gc=False the superseded pairs stay on disk (invisible to
+            # manifest-driven readers) until `vacuum_encoded`.
+            for g, d in zip(bin_gids, old_dirs):
+                mfs.delete(Path(mdir, _manifest_group_name(g)), False)
+                dfs, djp, _ = _hadoop_fs(spark, d)
+                dfs.delete(djp, True)
         summary["files_after"] += _count_part_files(spark, [new_dir])
         summary["bins_merged"] += 1
         summary["buckets_rewritten"] += len(rows)

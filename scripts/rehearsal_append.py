@@ -66,6 +66,13 @@ def main() -> None:
     if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
         write_sequences(spark, N_BASE, base_dir, seed=42,
                         partitions=BASE_FILES)
+    # self-heal: a hard kill in a prior run (here or in
+    # rehearsal_compact.py, which shares this cached base) can leave
+    # growth files inside the dir with _SUCCESS still valid — sweep
+    # grow-prefixed leftovers before trusting the cache
+    for f in os.listdir(base_dir):
+        if f.startswith(("grow-", "cgrow")):
+            os.remove(os.path.join(base_dir, f))
     if not os.path.exists(os.path.join(stash_dir, "_SUCCESS")):
         # distinct id space: the generator keys doc_id on the row index,
         # so an un-prefixed growth corpus would collide with base ids

@@ -69,6 +69,13 @@ def main() -> None:
     if not os.path.exists(os.path.join(base_dir, "_SUCCESS")):
         write_sequences(spark, N_BASE, base_dir, seed=42,
                         partitions=BASE_FILES)
+    # self-heal: a hard kill (OOM/SIGKILL) in a prior run leaves growth
+    # files inside this SHARED cached base corpus with _SUCCESS still
+    # valid — sweep any grow-prefixed leftovers before trusting it
+    # (rehearsal_append.py carries the same sweep for its prefix)
+    for f in os.listdir(base_dir):
+        if f.startswith(("cgrow", "grow-")):
+            os.remove(os.path.join(base_dir, f))
     # four disjoint growth batches (id-prefixed against base collisions,
     # basename-prefixed so they are removable to restore the shared
     # cached base corpus)

@@ -402,3 +402,23 @@ def test_pq_append_holds_writer_lock(spark, emb, tmp_path):
             similarity.append_ivf_pq_index(emb.limit(5), DIM, path)
     finally:
         held.release()
+
+
+def test_pq_append_same_batch_retry_is_exactly_once(spark, emb, tmp_path):
+    """The realistic retry — re-submitting the SAME batch after a crash
+    mid-publish — must finish the staged publish and NOT re-encode:
+    every vector indexed exactly once, flagged as a recognized retry."""
+    path = str(tmp_path / "idx_retry")
+    half1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    similarity.write_ivf_pq_index(half1, DIM, path, n_centroids=16, m=8)
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        similarity.append_ivf_pq_index(half2, DIM, path,
+                                       fail_after_moves=2)
+    s = similarity.append_ivf_pq_index(half2, DIM, path)  # same batch
+    assert s.get("retried_same_batch") is True
+    assert s["appended_rows"] == half2.count()
+    n_all = emb.count()
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == n_all
+    assert cells.select("vec_id").distinct().count() == n_all

@@ -655,3 +655,27 @@ def test_compact_holds_job_lock(spark, seq, seq_path, tmp_path):
             pl.compact_encoded_job(spark, out)
     finally:
         held.release()
+
+
+def test_compact_gc_deferred_and_vacuum(spark, seq, seq_path, tmp_path):
+    """Concurrent-reader mode: compact(gc=False) publishes the swap but
+    leaves the superseded pairs on disk (a pre-publish reader's plan
+    still resolves); vacuum_encoded reclaims them later."""
+    out = str(tmp_path / "comp_gc")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                            chunk_size=512, buckets_per_commit=2)
+    pre = pl.read_encoded(spark, out)   # plan resolved BEFORE the swap
+    n0 = pre.count()
+    s = pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40,
+                               gc=False)
+    assert s["gc_deferred"] is True and s["bins_merged"] == 1
+    # old dirs still on disk: the pre-publish plan stays readable...
+    assert len(os.listdir(os.path.join(out, "data"))) == 4
+    assert pre.count() == n0
+    # ...while fresh reads already resolve to the compacted group only
+    assert pl.read_encoded(spark, out).count() == n0
+    assert pl.vacuum_encoded(spark, out) == 3
+    assert len(os.listdir(os.path.join(out, "data"))) == 1
+    assert pl.read_encoded(spark, out).count() == n0
+    assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
