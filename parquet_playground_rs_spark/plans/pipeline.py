@@ -1361,7 +1361,10 @@ def compact_encoded_job(
     NOT fine with concurrent readers. For those, run with ``gc=False``
     (superseded pairs stay on disk, invisible to manifest-driven
     reads) and reclaim later with `vacuum_encoded` once in-flight
-    readers have drained — the Iceberg expire-snapshots split.
+    readers have drained — the Iceberg expire-snapshots split. Note
+    the grace window lasts only until the NEXT writer job on the same
+    out dir: every writer (encode resume, another compact, vacuum)
+    runs the superseded-GC pass on entry.
 
     The rewrite is verified before publish: a read-back of the new dir
     must reproduce every bucket's manifested (n_rows, block_crc)
