@@ -499,6 +499,102 @@ def test_lock_heartbeat_touches_mtime_not_content(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "job.lock"))
 
 
+def test_stale_break_loser_restores_live_lock(spark, tmp_path):
+    """Round-7 ADVICE (medium): two successors arriving after lease
+    expiry could both judge the lock stale; with the delete-based break
+    the slower one's delete removed the faster one's FRESH lock and both
+    acquired. The rename-based break makes the loser detect (by token)
+    that it moved a LIVE lock, restore it, and refuse."""
+    import time as _t
+
+    out = str(tmp_path / "lockrace")
+    os.makedirs(out)
+    lock_path = os.path.join(out, "job.lock")
+    with open(lock_path, "w") as fh:
+        fh.write(json.dumps({"token": "crashed", "ts": _t.time() - 3600}))
+    old = _t.time() - 3600
+    os.utime(lock_path, (old, old))
+
+    # breaker A observes the stale lock, breaks it, acquires
+    a = pl._JobLock(spark, out, lease_sec=60.0).acquire()
+    try:
+        # breaker B observed the SAME stale token before A's break; by
+        # the time B's rename runs, the path holds A's fresh lock
+        b = pl._JobLock(spark, out, lease_sec=60.0)
+        b._token = "breaker-b"
+        fs, jpath, jvm = pl._hadoop_fs(spark, lock_path)
+        with pytest.raises(RuntimeError, match="break race"):
+            b._break_stale(fs, jpath, jvm, "crashed")
+        # A's live lock was restored, not destroyed
+        assert json.loads(open(lock_path).read())["token"] == a._token
+        a.check()  # A's protection is intact
+    finally:
+        a.release()
+    assert not os.path.exists(lock_path)
+
+
+def test_lock_theft_detected_by_heartbeat(spark, tmp_path):
+    """A replaced token is caught by the NEXT heartbeat (lease/4), and
+    check() aborts the run promptly instead of at release()."""
+    import time as _t
+
+    out = str(tmp_path / "locktheft")
+    os.makedirs(out)
+    held = pl._JobLock(spark, out, lease_sec=1.0).acquire()
+    try:
+        with open(os.path.join(out, "job.lock"), "w") as fh:
+            fh.write(json.dumps({"token": "thief", "ts": _t.time()}))
+        deadline = _t.time() + 5.0
+        while held.lost_reason is None and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert held.lost_reason is not None
+        with pytest.raises(RuntimeError, match="lost mid-run"):
+            held.check()
+        with pytest.raises(RuntimeError, match="stolen or lost"):
+            held.release()
+    finally:
+        held.release(raise_on_stolen=False)
+    # the thief's lock is NOT deleted by the loser's release
+    assert json.loads(
+        open(os.path.join(out, "job.lock")).read())["token"] == "thief"
+
+
+def test_lock_heartbeat_survives_transient_fs_errors(spark, tmp_path,
+                                                     monkeypatch):
+    """Round-7 ADVICE (medium): the heartbeat used to exit permanently
+    on ANY exception, silently letting the live lock age past the lease.
+    It now retries transient failures and keeps refreshing."""
+    import time as _t
+
+    out = str(tmp_path / "lockbeat")
+    os.makedirs(out)
+    held = pl._JobLock(spark, out, lease_sec=1.0).acquire()
+    real = pl._hadoop_fs
+    fail = {"left": 2}
+
+    def flaky(spark_, path):
+        if path.endswith("job.lock") and fail["left"] > 0:
+            fail["left"] -= 1
+            raise IOError("injected transient FS error")
+        return real(spark_, path)
+
+    monkeypatch.setattr(pl, "_hadoop_fs", flaky)
+    try:
+        lock_path = os.path.join(out, "job.lock")
+        m0 = os.path.getmtime(lock_path)
+        deadline = _t.time() + 6.0
+        while _t.time() < deadline and os.path.getmtime(lock_path) <= m0:
+            _t.sleep(0.05)
+        assert fail["left"] == 0  # the injected failures actually fired
+        assert os.path.getmtime(lock_path) > m0  # heartbeat recovered
+        assert held.lost_reason is None
+        held.check()
+    finally:
+        monkeypatch.setattr(pl, "_hadoop_fs", real)
+        held.release()
+    assert not os.path.exists(os.path.join(out, "job.lock"))
+
+
 # ---------------------------------------------------------------------------
 # Compaction (round 7): merge small commit groups, supersedes protocol
 # ---------------------------------------------------------------------------
@@ -676,6 +772,58 @@ def test_compact_gc_deferred_and_vacuum(spark, seq, seq_path, tmp_path):
     # ...while fresh reads already resolve to the compacted group only
     assert pl.read_encoded(spark, out).count() == n0
     assert pl.vacuum_encoded(spark, out) == 3
+    assert len(os.listdir(os.path.join(out, "data"))) == 1
+    assert pl.read_encoded(spark, out).count() == n0
+    assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
+
+
+def test_gc_retention_survives_intervening_writer(spark, seq, seq_path,
+                                                  tmp_path):
+    """Round-8 judge task 3: with a positive retention, the deferred-GC
+    grace window is TIME-based — a writer job landing inside the window
+    leaves the superseded pairs on disk (previously ANY writer's entry
+    pass collected them), and a post-retention vacuum reclaims them."""
+    import time as _t
+
+    out = str(tmp_path / "comp_ret")
+    pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                            chunk_size=512, buckets_per_commit=2)
+    n0 = pl.read_encoded(spark, out).count()
+    s = pl.compact_encoded_job(spark, out,
+                               target_group_output_bytes=1 << 40,
+                               gc=False)
+    assert s["bins_merged"] == 1
+    assert len(os.listdir(os.path.join(out, "data"))) == 4
+
+    # a WRITER job (resume no-op) inside the retention window must not
+    # end the grace period
+    s2 = pl.run_encode_job_files(spark, seq_path, out, n_buckets=6,
+                                 chunk_size=512, buckets_per_commit=2,
+                                 gc_min_age_sec=3600.0)
+    assert s2["processed_buckets"] == 0
+    assert s2["superseded_groups_cleaned"] == 0
+    assert len(os.listdir(os.path.join(out, "data"))) == 4  # pairs kept
+
+    # an early vacuum with the same retention is a no-op too
+    assert pl.vacuum_encoded(spark, out, min_age_sec=3600.0) == 0
+    assert len(os.listdir(os.path.join(out, "data"))) == 4
+
+    # age the replacement's publish: rewrite its manifest ts to the past
+    # (the publish timestamp lives in the superseding group's rows)
+    mdir = os.path.join(out, "manifest")
+    sup = [f for f in os.listdir(mdir) if f.startswith("group-")]
+    for f in sup:
+        lines = open(os.path.join(mdir, f)).read().splitlines()
+        rows = [json.loads(ln) for ln in lines]
+        if not any(r.get("supersedes") for r in rows):
+            continue
+        for r in rows:
+            r["ts"] = _t.time() - 7200.0
+        with open(os.path.join(mdir, f), "w") as fh:
+            fh.write("".join(json.dumps(r) + "\n" for r in rows))
+
+    # post-retention vacuum collects all three superseded pairs
+    assert pl.vacuum_encoded(spark, out, min_age_sec=3600.0) == 3
     assert len(os.listdir(os.path.join(out, "data"))) == 1
     assert pl.read_encoded(spark, out).count() == n0
     assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
