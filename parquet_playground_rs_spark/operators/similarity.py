@@ -736,22 +736,62 @@ def write_ivf_pq_index(corpus: DataFrame, dim: int, path: str,
 
 
 _STAGE_FP_NAME = "_BATCH_FP.json"
+_LAST_APPEND_NAME = "_LAST_APPEND.json"
 
 
-def _batch_fingerprint(df: DataFrame, id_col: str) -> dict:
-    """Order-independent id fingerprint of an append batch: row count +
-    two prime-modded xxhash64 sums. Written into the stage dir so a
-    crashed append retried WITH THE SAME BATCH is recognized and
-    resolved by finishing the staged publish instead of re-encoding
-    (which would index every vector twice)."""
-    r = df.agg(
+def _batch_fingerprint(df: DataFrame, id_col: str,
+                       vec_col: str | None = None) -> dict:
+    """Order-independent fingerprint of an append batch: row count +
+    two prime-modded xxhash64 sums over the ids, plus (round 8, round-7
+    ADVICE) a CONTENT sum ``h3`` binding each id to its vector — a
+    re-append with the same id multiset but corrected/changed
+    embeddings no longer matches a stale stage of the old vectors.
+    Written into the stage dir so a crashed append retried WITH THE
+    SAME BATCH is recognized and resolved by finishing the staged
+    publish instead of re-encoding (which would index every vector
+    twice)."""
+    aggs = [
         F.count("*").alias("n"),
         F.sum(F.pmod(F.xxhash64(F.col(id_col)),
                      F.lit(1_000_000_007))).alias("h1"),
         F.sum(F.pmod(F.xxhash64(F.col(id_col), F.lit(7919)),
-                     F.lit(1_000_000_009))).alias("h2")).first()
-    return {"n_rows": int(r["n"]), "h1": int(r["h1"] or 0),
-            "h2": int(r["h2"] or 0)}
+                     F.lit(1_000_000_009))).alias("h2")]
+    if vec_col is not None:
+        aggs.append(
+            F.sum(F.pmod(F.xxhash64(F.col(id_col), F.col(vec_col)),
+                         F.lit(1_000_000_021))).alias("h3"))
+    r = df.agg(*aggs).first()
+    fp = {"n_rows": int(r["n"]), "h1": int(r["h1"] or 0),
+          "h2": int(r["h2"] or 0)}
+    if vec_col is not None:
+        fp["h3"] = int(r["h3"] or 0)
+    return fp
+
+
+def _fp_matches(stored: dict | None, incoming: dict) -> bool:
+    """Whether a stored fingerprint identifies the incoming batch. The
+    content sum ``h3`` participates when the stored fingerprint has it;
+    fingerprints written by older builds (id sums only) keep matching
+    on the id keys alone."""
+    if stored is None:
+        return False
+    keys = ["n_rows", "h1", "h2"]
+    if "h3" in stored and "h3" in incoming:
+        keys.append("h3")
+    return all(stored.get(k) == incoming.get(k) for k in keys)
+
+
+def _ids_match_content_differs(stored: dict | None,
+                               incoming: dict) -> bool:
+    """The correction shape: same id multiset, different vectors — the
+    stale stage holds OUTDATED encodings of these exact ids and must be
+    discarded, not published (publishing it would silently index the
+    old vectors under the new batch's ids)."""
+    if stored is None or "h3" not in stored or "h3" not in incoming:
+        return False
+    return (all(stored.get(k) == incoming.get(k)
+                for k in ("n_rows", "h1", "h2"))
+            and stored["h3"] != incoming["h3"])
 
 
 def _read_stage_fingerprint(spark, tmp_dir: str) -> dict | None:
@@ -771,7 +811,8 @@ def _read_stage_fingerprint(spark, tmp_dir: str) -> dict | None:
     return None if raw is None else _json.loads(raw)
 
 
-def _publish_staged_cells(spark, cells_dir: str, tmp_dir: str,
+def _publish_staged_cells(spark, index_root: str, cells_dir: str,
+                          tmp_dir: str,
                           fail_after_moves: int | None = None) -> int:
     """Move a staged append's cell files into the live index; returns
     the number of files moved. Idempotent roll-forward: a staged dir
@@ -781,16 +822,24 @@ def _publish_staged_cells(spark, cells_dir: str, tmp_dir: str,
     write-job-unique, a file already moved is absent from the stage on
     re-entry, and a file present on BOTH sides (an object-store
     copy+delete rename that crashed between the copy and the delete)
-    counts as moved and only the stage copy is dropped — then the stage
-    dir is removed. A crash anywhere re-enters this function on the
-    next append call."""
-    from ..plans.pipeline import _hadoop_fs
+    counts as moved and only the stage copy is dropped — then the
+    published batch's fingerprint is persisted durably at
+    ``index_root/_LAST_APPEND.json`` BEFORE the stage dir is removed
+    (round-7 ADVICE: a retry of an append that fully published — crash
+    between the stage delete and the caller recording success — must be
+    recognized and short-circuited, not re-encoded as a new batch),
+    and the stage dir is removed. A crash anywhere re-enters this
+    function on the next append call."""
+    import json as _json
+
+    from ..plans.pipeline import _hadoop_fs, _write_small_file
 
     fs, tjp, jvm = _hadoop_fs(spark, tmp_dir)
     if not fs.exists(tjp):
         return 0
     Path = jvm.org.apache.hadoop.fs.Path
-    if _read_stage_fingerprint(spark, tmp_dir) is None:
+    staged_fp = _read_stage_fingerprint(spark, tmp_dir)
+    if staged_fp is None:
         fs.delete(tjp, True)
         return 0
     moves = 0
@@ -817,6 +866,8 @@ def _publish_staged_cells(spark, cells_dir: str, tmp_dir: str,
                 raise IOError(
                     f"index-append publish: rename failed for {fname}")
             moves += 1
+    _write_small_file(spark, f"{index_root}/{_LAST_APPEND_NAME}",
+                      _json.dumps(staged_fp))
     fs.delete(tjp, True)
     return moves
 
@@ -853,11 +904,18 @@ def append_ivf_pq_index(new_corpus: DataFrame, dim: int, path: str,
     fingerprint of the batch (the fingerprint file, written after the
     data, is the stage commit — ``_SUCCESS`` alone without it reads as
     torn and is discarded). On entry, a pending stage whose fingerprint
-    MATCHES the incoming batch means the caller is retrying a crashed
-    append of the same vectors: the staged publish is finished and the
-    function returns WITHOUT re-encoding (re-encoding would index the
-    batch twice); a pending stage of a different batch is finished
-    first, then the new batch proceeds. Per-file renames tolerate the
+    MATCHES the incoming batch (ids AND vector content) means the
+    caller is retrying a crashed append of the same vectors: the staged
+    publish is finished and the function returns WITHOUT re-encoding
+    (re-encoding would index the batch twice); a pending stage with the
+    same ids but DIFFERENT vectors (a correction re-append) is
+    discarded, never published; any other pending stage is finished
+    first, then the new batch proceeds. The publish persists the
+    batch fingerprint durably at ``path/_LAST_APPEND.json`` BEFORE
+    removing the stage, so a retry of an append that FULLY published
+    (crash between the stage delete and the caller recording success)
+    is short-circuited (``already_published: True``) instead of being
+    indexed twice as a "new" batch. Per-file renames tolerate the
     object-store copy+delete crash shape (a file live AND staged counts
     as moved; the stage copy is dropped). A reader mid-publish sees a
     subset of the NEW vectors (never duplicates, never missing old
@@ -887,28 +945,52 @@ def _append_ivf_pq_locked(spark, new_corpus, dim, path, id_col, vec_col,
                           fail_after_moves) -> dict:
     import json as _json
 
-    from ..plans.pipeline import _write_small_file
+    from ..plans.pipeline import (_hadoop_fs, _read_small_file,
+                                  _write_small_file)
 
     cells_dir = f"{path}/cells"
     tmp_dir = f"{path}/cells_append_tmp"
     # retry safety: if a COMPLETE stage is pending and its fingerprint
-    # matches this batch, the caller is retrying a crashed append of
-    # the SAME vectors — finish the staged publish and return, never
-    # re-encode (that would index the batch twice). A pending stage of
-    # a DIFFERENT batch is finished first (recovered), then this batch
+    # matches this batch (ids AND vector content — h3), the caller is
+    # retrying a crashed append of the SAME vectors — finish the staged
+    # publish and return, never re-encode (that would index the batch
+    # twice). A pending stage with the SAME ids but DIFFERENT content
+    # is the correction shape: the stage holds outdated encodings of
+    # these exact ids and is DISCARDED (publishing it would silently
+    # index the old vectors). Any other pending stage is a crashed
+    # different batch: finished first (recovered), then this batch
     # proceeds normally.
-    incoming_fp = _batch_fingerprint(new_corpus, id_col)
+    incoming_fp = _batch_fingerprint(new_corpus, id_col, vec_col)
     staged_fp = _read_stage_fingerprint(spark, tmp_dir)
-    if staged_fp is not None and all(
-            staged_fp.get(k) == incoming_fp[k]
-            for k in ("n_rows", "h1", "h2")):
-        moved = _publish_staged_cells(spark, cells_dir, tmp_dir,
+    if _fp_matches(staged_fp, incoming_fp):
+        moved = _publish_staged_cells(spark, path, cells_dir, tmp_dir,
                                       fail_after_moves)
         return {"appended_rows": int(staged_fp["n_rows"]),
                 "files_moved": int(moved),
                 "cells_touched": int(staged_fp.get("n_cells", 0)),
                 "recovered_moves": 0, "retried_same_batch": True}
-    recovered = _publish_staged_cells(spark, cells_dir, tmp_dir)
+    if _ids_match_content_differs(staged_fp, incoming_fp):
+        fs, tjp, _ = _hadoop_fs(spark, tmp_dir)
+        fs.delete(tjp, True)
+        recovered = 0
+    else:
+        recovered = _publish_staged_cells(spark, path, cells_dir,
+                                          tmp_dir)
+    # fully-published retry: a crash between the stage-dir delete and
+    # the caller recording success leaves NO stage, but the durable
+    # last-append fingerprint identifies the batch as already indexed —
+    # short-circuit instead of indexing every vector twice. (Callers
+    # own id uniqueness across appends, so an identical re-append is
+    # never a legitimate new batch.)
+    last_raw = _read_small_file(spark, f"{path}/{_LAST_APPEND_NAME}")
+    if last_raw is not None:
+        last_fp = _json.loads(last_raw)
+        if _fp_matches(last_fp, incoming_fp):
+            return {"appended_rows": int(last_fp["n_rows"]),
+                    "files_moved": 0,
+                    "cells_touched": int(last_fp.get("n_cells", 0)),
+                    "recovered_moves": int(recovered),
+                    "already_published": True}
     C = read_ivf_centroids(spark, path)
     codebooks = read_pq_codebooks(spark, path)
     if dim != C.shape[1]:
@@ -931,8 +1013,6 @@ def _append_ivf_pq_locked(spark, new_corpus, dim, path, id_col, vec_col,
                                 id_col, id_type)
     (encoded.repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(tmp_dir))
-    from ..plans.pipeline import _hadoop_fs
-
     fs, tjp, _ = _hadoop_fs(spark, tmp_dir)
     has_cells = any(st.getPath().getName().startswith("cell=")
                     for st in fs.listStatus(tjp))
@@ -947,7 +1027,7 @@ def _append_ivf_pq_locked(spark, new_corpus, dim, path, id_col, vec_col,
     # so the same-batch-retry check above can trust what it reads
     _write_small_file(spark, f"{tmp_dir}/{_STAGE_FP_NAME}",
                       _json.dumps({**incoming_fp, "n_cells": int(n_cells)}))
-    moved = _publish_staged_cells(spark, cells_dir, tmp_dir,
+    moved = _publish_staged_cells(spark, path, cells_dir, tmp_dir,
                                   fail_after_moves)
     return {"appended_rows": int(n_rows), "files_moved": int(moved),
             "cells_touched": int(n_cells),

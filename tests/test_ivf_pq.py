@@ -422,3 +422,70 @@ def test_pq_append_same_batch_retry_is_exactly_once(spark, emb, tmp_path):
     cells = spark.read.parquet(f"{path}/cells")
     assert cells.count() == n_all
     assert cells.select("vec_id").distinct().count() == n_all
+
+
+def test_pq_append_fully_published_retry_short_circuits(spark, emb,
+                                                        tmp_path):
+    """Round-7 ADVICE (low): a retry of an append that FULLY published
+    (crash between the stage-dir delete and the caller recording
+    success leaves no stage) used to be treated as a new batch and
+    re-encoded, indexing every vector twice. The durable
+    _LAST_APPEND.json fingerprint now short-circuits it."""
+    import os
+
+    path = str(tmp_path / "idx_pub_retry")
+    half1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    similarity.write_ivf_pq_index(half1, DIM, path, n_centroids=16, m=8)
+    s1 = similarity.append_ivf_pq_index(half2, DIM, path)
+    assert s1["files_moved"] > 0
+    # the fingerprint was persisted durably before the stage delete
+    assert os.path.exists(f"{path}/_LAST_APPEND.json")
+    n_all = emb.count()
+    # caller crashed before recording success; re-submits the batch
+    s2 = similarity.append_ivf_pq_index(half2, DIM, path)
+    assert s2.get("already_published") is True
+    assert s2["files_moved"] == 0
+    assert s2["appended_rows"] == half2.count()
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == n_all  # NOT indexed twice
+    assert cells.select("vec_id").distinct().count() == n_all
+
+
+def test_pq_append_corrected_vectors_discard_stale_stage(spark, emb,
+                                                         tmp_path):
+    """Round-7 ADVICE (low): the fingerprint used to hash only the ids,
+    so a re-append with the SAME ids but corrected embeddings matched a
+    crashed stage of the OLD vectors and silently published the stale
+    encodings. The content sum (h3) now distinguishes them: the stale
+    stage is discarded and the corrected batch is encoded fresh."""
+    path = str(tmp_path / "idx_correct")
+    half1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    similarity.write_ivf_pq_index(half1, DIM, path, n_centroids=16, m=8)
+    n1 = half1.count()
+    # the WRONG vectors crash after staging, before any file moves
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        similarity.append_ivf_pq_index(half2, DIM, path,
+                                       fail_after_moves=0)
+    assert spark.read.parquet(f"{path}/cells").count() == n1
+    # re-append the same ids with CORRECTED embeddings
+    corrected = half2.withColumn("embedding", F.reverse("embedding"))
+    s = similarity.append_ivf_pq_index(corrected, DIM, path)
+    assert s.get("retried_same_batch") is None
+    assert s["recovered_moves"] == 0  # stale stage discarded, not published
+    assert s["appended_rows"] == half2.count()
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    # the index holds the CORRECTED vectors: querying by a corrected
+    # embedding finds its own id at exact cosine 1.0
+    q = corrected.orderBy("vec_id").limit(4) \
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    top1 = similarity.ivf_pq_query(q, DIM, path, k=2, nprobe=6) \
+        .filter(F.col("rank") == 1)
+    rows = top1.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["neighbor_id"] == r["query_id"] - 1_000_000
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
