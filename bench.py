@@ -130,6 +130,55 @@ def timed_reps(fn, reps: int = 3, tag: str = "",
     return out
 
 
+# round-8 judge task 1: BENCH_r07.json was captured in a loaded window
+# (trimmed 1.27, probes 10.5 GB/s vs 12.0 quiet), so its per-query
+# numbers read as regressions that quiet-window runs showed were window
+# artifacts — and a polluted committed artifact hides REAL regressions.
+# The headline capture is now noise-gated: before the JVM launches, a
+# probe burst must show a trimmed index <= the quiet bar, retrying for
+# up to SPARK_GRAFT_QUIET_WAIT_SEC; and the final JSON line always
+# carries `window: quiet|loaded` (stamped from the RUN's own
+# interleaved probes, the ground truth) + the probe median GB/s, so
+# cross-round deltas are interpretable either way.
+QUIET_TRIMMED_BAR = float(os.environ.get("SPARK_GRAFT_QUIET_BAR", "1.15"))
+QUIET_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
+QUIET_RETRY_SLEEP = 20.0
+_PREFLIGHT_PROBES = 12
+
+
+def wait_for_quiet_window() -> dict:
+    """Block until a pre-flight probe burst reads quiet, or the wait
+    budget runs out (the run then proceeds, stamped loaded if its own
+    probes agree). Burst probes go through `calibrate` for the
+    identical kernel, then the shared series is RESET so pre-flight
+    probes never pollute the run's noise index."""
+    global _CALIB_TIMES, _CALIB_TAGS
+    deadline = time.time() + QUIET_WAIT_SEC
+    attempts = 0
+    waited_from = time.time()
+    while True:
+        attempts += 1
+        burst = [calibrate("preflight") for _ in range(_PREFLIGHT_PROBES)]
+        ts = sorted(burst)
+        med = statistics.median(ts)
+        trimmed = ts[min(len(ts) - 1,
+                         int(round(0.9 * (len(ts) - 1))))] / med
+        gbps = round(0.25 / med, 1)
+        _CALIB_TIMES = []
+        _CALIB_TAGS = []
+        if trimmed <= QUIET_TRIMMED_BAR or time.time() >= deadline:
+            return {"preflight_trimmed": round(trimmed, 2),
+                    "preflight_gbps_median": gbps,
+                    "preflight_attempts": attempts,
+                    "preflight_waited_sec": round(
+                        time.time() - waited_from, 1),
+                    "preflight_quiet": trimmed <= QUIET_TRIMMED_BAR}
+        print(f"# waiting for quiet window: trimmed {trimmed:.2f} > "
+              f"{QUIET_TRIMMED_BAR} (probe {gbps} GB/s), retry in "
+              f"{QUIET_RETRY_SLEEP:.0f}s", file=sys.stderr)
+        time.sleep(QUIET_RETRY_SLEEP)
+
+
 def noise_indices() -> tuple[float, float, dict[str, list[float]]]:
     """(max/min, p90/median, probes grouped by query tag) over the
     interleaved probe series. max/min flags ANY excursion but round-4's
@@ -198,12 +247,17 @@ def main() -> None:
         pinned = sorted(cores)
     except (AttributeError, OSError):
         pass  # non-Linux fallback: run unpinned, noted in extras
+    # noise gate BEFORE the JVM launches (round-8 task 1): don't start
+    # a multi-minute capture into a window the probes already show is
+    # loaded; the wait budget bounds the stall on a busy host
+    preflight = wait_for_quiet_window()
     # ui=True: the REST status API is the shuffle-byte accounting source
     # for the minhash extras (negligible overhead in local mode)
     spark = get_spark(app=f"bench-{sf_name()}", cores=CPUS,
                       shuffle_partitions=CPUS, driver_mem="12g", ui=True)
     timings: dict[str, float] = {}
     extra: dict = {}
+    extra.update(preflight)
     extra["pinned_cores"] = (
         f"{pinned[0]}-{pinned[-1]}" if pinned else "unpinned")
     if sf_defaulted:
@@ -769,6 +823,11 @@ def main() -> None:
     extra["calib_gbps_median"] = round(
         0.25 / statistics.median(_CALIB_TIMES), 1)
     extra["probe_by_query"] = by_query
+    # the window stamp comes from the RUN's own interleaved probes —
+    # the pre-flight gate reduces the odds of a loaded capture, the
+    # stamp records what actually happened during it
+    extra["window"] = ("quiet" if trimmed_idx <= QUIET_TRIMMED_BAR
+                       else "loaded")
 
     spark.stop()
 
@@ -809,7 +868,7 @@ def main() -> None:
         "q_verify_checksum_sec", "q_verify_chunks_sec",
         "q_streaming_sessions_state_sec", "streaming_state_max_rows",
         "host_noise_index", "q_encode_best", "pipeline_fixed_sec_per_commit",
-        "pipeline_file_commit_stale_cleaned",
+        "pipeline_file_commit_stale_cleaned", "preflight_waited_sec",
     ]
     compact = {"extras_file": side_path}
     base = {
@@ -819,6 +878,10 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf_name(),
         "cpus": CPUS,
+        # never budget-trimmed: cross-round readers need these two to
+        # interpret every other number in the line
+        "window": extra["window"],
+        "probe_gbps": extra["calib_gbps_median"],
     }
     for k in headline_keys:
         if k not in extra:
