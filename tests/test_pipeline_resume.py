@@ -827,3 +827,87 @@ def test_gc_retention_survives_intervening_writer(spark, seq, seq_path,
     assert len(os.listdir(os.path.join(out, "data"))) == 1
     assert pl.read_encoded(spark, out).count() == n0
     assert pl.verify_job(spark, seq, out)["n_mismatch"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Catalog checkpoint (round 8): fold loose version files
+# ---------------------------------------------------------------------------
+
+def _catalog_files(out):
+    return sorted(os.listdir(os.path.join(out, "catalog")))
+
+
+def test_catalog_checkpoint_append_equivalence(spark, seq, tmp_path):
+    """append -> checkpoint -> append: read_catalog returns the
+    identical version list across the fold, the folded loose files are
+    gone, and a post-checkpoint append extends the catalog exactly as
+    it would have without the checkpoint (round-8 judge task 6)."""
+    src = str(tmp_path / "src_ck")
+    out = str(tmp_path / "out_ck")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    seq.filter(part == 0).repartition(2) \
+        .write.mode("overwrite").parquet(src)
+    pl.run_encode_job_files(spark, src, out, n_buckets=2, chunk_size=512,
+                            catalog_checkpoint_after=None)
+    seq.filter(part == 1).repartition(2) \
+        .write.mode("append").parquet(src)
+    pl.run_encode_job_files(spark, src, out, n_buckets=2, chunk_size=512,
+                            append=True, catalog_checkpoint_after=None)
+    before = pl.read_catalog(spark, out)
+    assert [v["version"] for v in before] == [0, 1]
+    assert len([f for f in _catalog_files(out)
+                if f.startswith("version-")]) == 2
+
+    s = pl.checkpoint_catalog(spark, out)
+    assert s["checkpointed_versions"] == 2
+    names = _catalog_files(out)
+    assert names == ["checkpoint-00001.json"]  # loose files folded
+    assert pl.read_catalog(spark, out) == before  # verbatim
+
+    # post-checkpoint append behaves identically: new version 2, fresh
+    # bucket ids, and the union verifies exactly
+    seq.filter(part == 2).repartition(2) \
+        .write.mode("append").parquet(src)
+    s2 = pl.run_encode_job_files(spark, src, out, n_buckets=2,
+                                 chunk_size=512, append=True,
+                                 catalog_checkpoint_after=None)
+    assert s2["catalog_versions"] == 3 and s2["appended_files"] == 2
+    after = pl.read_catalog(spark, out)
+    assert [v["version"] for v in after] == [0, 1, 2]
+    assert after[:2] == before
+    res = pl.verify_job(spark, seq, out)
+    assert res["n_mismatch"] == 0 and res["n_decoded"] == N_ROWS
+    # a second checkpoint folds all three and replaces the old one
+    s3 = pl.checkpoint_catalog(spark, out)
+    assert s3["checkpointed_versions"] == 3
+    assert _catalog_files(out) == ["checkpoint-00002.json"]
+    assert pl.read_catalog(spark, out) == after
+
+
+def test_catalog_auto_checkpoint_on_encode_entry(spark, seq, tmp_path):
+    """run_encode_job_files folds the catalog itself once loose version
+    files exceed the threshold — no separate maintenance call needed."""
+    src = str(tmp_path / "src_ak")
+    out = str(tmp_path / "out_ak")
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    seq.filter(part == 0).repartition(1) \
+        .write.mode("overwrite").parquet(src)
+    pl.run_encode_job_files(spark, src, out, n_buckets=1, chunk_size=512,
+                            catalog_checkpoint_after=2)
+    folds = []
+    for i in (1, 2, 3):
+        seq.filter(part == i).repartition(1) \
+            .write.mode("append").parquet(src)
+        r = pl.run_encode_job_files(spark, src, out, n_buckets=1,
+                                    chunk_size=512, append=True,
+                                    catalog_checkpoint_after=2)
+        folds.append(r["catalog_versions_checkpointed"])
+    # the third run's append made 3 loose files > threshold 2 and
+    # folded them; the fourth leaves its own version loose (1 <= 2)
+    assert folds == [0, 3, 0]
+    names = _catalog_files(out)
+    assert names == ["checkpoint-00002.json", "version-00003.json"]
+    assert [v["version"] for v in pl.read_catalog(spark, out)] == \
+        [0, 1, 2, 3]
+    res = pl.verify_job(spark, seq, out)
+    assert res["n_mismatch"] == 0 and res["n_decoded"] == N_ROWS
