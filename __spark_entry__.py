@@ -1020,6 +1020,70 @@ def _q_ivf_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_pq_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-dir compaction for the grown index (round 8, round-7 judge
+    task 2): build on a third of the embeddings, append the other two
+    thirds in two batches (each append lands ~1 file per touched cell —
+    the accretion `compact_ivf_pq_cells` exists for), snapshot the
+    query results, compact, and require the post-compaction results
+    ROW-IDENTICAL (the read-back-verified atomic swap must be invisible
+    to queries) on top of the same full-corpus brute-force recall floor
+    as the other IVF rows. Integrity bits: every corpus row indexed
+    exactly once after the swap, and compaction actually reduced
+    files."""
+    import shutil
+
+    from parquet_playground_rs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    thirds = [emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(3)) == i)
+              for i in range(3)]
+    queries_df = emb.orderBy("vec_id").limit(20)
+    path = _scratch_dir("ivf_pq_cc_idx")
+    try:
+        similarity.write_ivf_pq_index(thirds[0], dim, path,
+                                      n_centroids=16, m=8)
+        for t in thirds[1:]:
+            similarity.append_ivf_pq_index(t, dim, path)
+
+        def snap():
+            return sorted(
+                (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+                for r in similarity.ivf_pq_query(
+                    queries_df, dim, path, k=5, nprobe=6,
+                    refine=8).collect())
+
+        pre = snap()
+        s = similarity.compact_ivf_pq_cells(spark, path)
+        post = snap()
+        queries_identical = int(post == pre)
+        files_reduced = int(s["cells_compacted"] > 0
+                            and s["files_after"] < s["files_before"])
+        cells = spark.read.parquet(f"{path}/cells")
+        n_emb = emb.count()
+        index_complete = int(
+            cells.count() == n_emb
+            and cells.select("vec_id").distinct().count() == n_emb)
+        bf = similarity.brute_force_topk(emb, queries_df, k=5)
+        bfp = bf.select("query_id", "neighbor_id")
+        post_pairs = {(q, nb) for q, _, nb, _ in post}
+        hits = sum(1 for r in bfp.collect()
+                   if (r["query_id"], r["neighbor_id"]) in post_pairs)
+        total = bfp.count()
+        n_queries = queries_df.count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_queries), int(total),
+          int(hits >= _IVF_RECALL_FLOOR * max(total, 1)),
+          index_complete, files_reduced, queries_identical)],
+        "n_queries bigint, n_exact bigint, recall_ok bigint, "
+        "index_complete bigint, files_reduced bigint, "
+        "queries_identical bigint",
+    )
+
+
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 affine embedding quantization (operators/quantize.py, round
     4): codes are JVM expressions the DuckDB oracle recomputes exactly
@@ -2120,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": _q_ivf_index_topk,
         "ivf_pq_topk": _q_ivf_pq_topk,
         "ivf_pq_append_topk": _q_ivf_pq_append_topk,
+        "ivf_pq_compact_topk": _q_ivf_pq_compact_topk,
         "embedding_quantize": _q_embedding_quantize,
         "multimodal_features": _q_multimodal_features,
         "events_sessions": _q_events_sessions,
@@ -2265,6 +2330,19 @@ SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
        CAST(1 AS BIGINT) AS recall_ok,
        CAST(1 AS BIGINT) AS index_complete,
        CAST(1 AS BIGINT) AS append_moved
+FROM c
+""",
+        # grown-then-compacted index (round 8): the swap must be
+        # invisible to queries (row-identical snapshot) on top of the
+        # full-corpus recall floor and exactly-once integrity
+        "ivf_pq_compact_topk": """
+WITH c AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(least(20, n) AS BIGINT) AS n_queries,
+       CAST(least(5, n - 1) * least(20, n) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS recall_ok,
+       CAST(1 AS BIGINT) AS index_complete,
+       CAST(1 AS BIGINT) AS files_reduced,
+       CAST(1 AS BIGINT) AS queries_identical
 FROM c
 """,
         # bss_doubles runs over the md5-derived histogram table

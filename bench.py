@@ -797,6 +797,23 @@ def main() -> None:
     extra["streaming_state_closed_sessions"] = ss["closed_sessions"]
     extra["streaming_state_mem_bytes_max"] = max(
         (b["state_mem_bytes"] or 0) for b in ss["batches"])
+    # the ADOPTED throughput path (round 8, task 5): bucketed state —
+    # measured 2.7-3.6x the per-user operator at 100k users with
+    # identical session sets + drop accounting on all three replay
+    # orders (BENCH/streaming_bucketed_ab.json). The per-user canary
+    # above stays as the cross-round continuity + semantics reference.
+    calibrate("q_streaming_bucketed")
+    t0 = time.time()
+    sb = run_state_scale(spark, n_users=32_000, n_events=256_000,
+                         n_slots=8, operator="bucket", n_buckets=256,
+                         want_digest=True)
+    extra["q_streaming_sessions_bucketed_sec"] = round(time.time() - t0, 3)
+    extra["streaming_bucketed_events_per_sec"] = sb["events_per_sec"]
+    extra["streaming_bucketed_max_state_rows"] = sb["max_state_rows"]
+    extra["streaming_bucketed_speedup_vs_user"] = round(
+        ss["stream_wall_sec"] / max(sb["stream_wall_sec"], 1e-9), 2)
+    extra["streaming_bucketed_sessions_match"] = int(
+        sb["closed_sessions"] == ss["closed_sessions"])
 
     # ---- host-noise indices over every interleaved calibration probe.
     # host_noise_index (max/min): flags ANY excursion; ~1.0-1.5 = quiet.
@@ -867,6 +884,9 @@ def main() -> None:
         "decode_rowwise_over_columnar",
         "q_verify_checksum_sec", "q_verify_chunks_sec",
         "q_streaming_sessions_state_sec", "streaming_state_max_rows",
+        "q_streaming_sessions_bucketed_sec",
+        "streaming_bucketed_events_per_sec",
+        "streaming_bucketed_speedup_vs_user",
         "host_noise_index", "q_encode_best", "pipeline_fixed_sec_per_commit",
         "pipeline_file_commit_stale_cleaned", "preflight_waited_sec",
     ]

@@ -66,7 +66,9 @@ def run_state_scale(spark, n_users: int, n_events: int,
                     n_slots: int = 16, gap: float = GAP,
                     slot_span: int = SLOT_SPAN,
                     order: list[int] | None = None,
-                    watermark_slots: int = 1) -> dict:
+                    watermark_slots: int = 1,
+                    operator: str = "user", n_buckets: int = 256,
+                    want_digest: bool = False) -> dict:
     """Generate the rotating-window stream, drain it one file per
     trigger in `order` (None = oldest-first), and report per-batch state
     rows / watermark drops / durations / memory plus the O(users)
@@ -77,7 +79,7 @@ def run_state_scale(spark, n_users: int, n_events: int,
     from pyspark.sql import functions as F
 
     from parquet_playground_rs_spark.streaming.sessions import (
-        sessionize_stream,
+        sessionize_stream, sessionize_stream_bucketed,
     )
 
     rot = n_slots // 2
@@ -124,9 +126,15 @@ def run_state_scale(spark, n_users: int, n_events: int,
         prev_cap = None
     spark.conf.set(_PROGRESS_CONF, str(n_slots + 16))
     t0 = time.time()
-    q = sessionize_stream(spark, in_dir, out_dir, gap_sec=gap,
-                          watermark=f"{watermark_slots * slot_span} seconds",
-                          max_files_per_trigger=1)
+    wm = f"{watermark_slots * slot_span} seconds"
+    if operator == "bucket":
+        q = sessionize_stream_bucketed(spark, in_dir, out_dir,
+                                       gap_sec=gap, n_buckets=n_buckets,
+                                       watermark=wm,
+                                       max_files_per_trigger=1)
+    else:
+        q = sessionize_stream(spark, in_dir, out_dir, gap_sec=gap,
+                              watermark=wm, max_files_per_trigger=1)
     try:
         q.processAllAvailable()
         progress = [json.loads(p.json) for p in q.recentProgress]
@@ -150,6 +158,18 @@ def run_state_scale(spark, n_users: int, n_events: int,
             "batch_sec": round((p.get("batchDuration") or 0) / 1000, 2),
         })
     n_sessions = spark.read.parquet(f"{out_dir}/data").count()
+    digest = None
+    if want_digest:
+        # order-independent content digest of the CLOSED-SESSION SET —
+        # the cross-operator equality check is on actual rows, not
+        # counts
+        import hashlib
+
+        rows = sorted(map(tuple,
+                          spark.read.parquet(f"{out_dir}/data")
+                          .collect()))
+        digest = hashlib.sha256(
+            json.dumps(rows).encode()).hexdigest()[:16]
     # guard the empty-progress case (round-6 ADVICE): a zero-batch run
     # reports zeros, not a max() crash
     max_state = max((b["state_rows"] or 0) for b in batches) if batches \
@@ -157,6 +177,7 @@ def run_state_scale(spark, n_users: int, n_events: int,
     dropped = sum((b["dropped_by_watermark"] or 0) for b in batches)
     out = {
         "n_users": n_users, "n_events": n_events, "n_slots": n_slots,
+        "operator": operator,
         "order": order, "watermark_slots": watermark_slots,
         "gen_sec": round(gen_sec, 1), "stream_wall_sec": round(wall, 1),
         "events_per_sec": round(n_events / wall, 0),
@@ -168,6 +189,8 @@ def run_state_scale(spark, n_users: int, n_events: int,
         "n_progress_batches": len(batches),
         "batches": batches,
     }
+    if digest is not None:
+        out["session_set_digest"] = digest
     shutil.rmtree(in_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
@@ -223,6 +246,59 @@ def run_disorder_sweep(spark, n_users: int, n_events: int,
     }
 
 
+def run_bucketed_ab(spark, n_users: int, n_events: int,
+                    n_slots: int = 8, n_buckets: int = 256) -> dict:
+    """Round-8 (round-7 judge task 5): the per-user sessionizer vs the
+    bucketed-state variant, SAME stream, all three replay orders of the
+    disorder sweep. Correctness bar: identical closed-session SET
+    (content digest over actual rows, not counts) and identical
+    watermark-drop accounting per order. Performance: events/s both
+    ways; the adoption bar is >=2x at equal correctness."""
+    swap = list(range(n_slots))
+    for i in range(0, n_slots - 1, 2):
+        swap[i], swap[i + 1] = swap[i + 1], swap[i]
+    orders = {"in_order": None,
+              "adjacent_swaps": swap,
+              "deep_late": list(range(1, n_slots)) + [0]}
+    res: dict = {"n_users": n_users, "n_events": n_events,
+                 "n_slots": n_slots, "n_buckets": n_buckets,
+                 "orders": {}}
+    checks = {}
+    for name, order in orders.items():
+        u = run_state_scale(spark, n_users, n_events, n_slots,
+                            order=order, watermark_slots=2,
+                            operator="user", want_digest=True)
+        b = run_state_scale(spark, n_users, n_events, n_slots,
+                            order=order, watermark_slots=2,
+                            operator="bucket", n_buckets=n_buckets,
+                            want_digest=True)
+        res["orders"][name] = {
+            "user": {"events_per_sec": u["events_per_sec"],
+                     "stream_wall_sec": u["stream_wall_sec"],
+                     "closed_sessions": u["closed_sessions"],
+                     "dropped_by_watermark": u["dropped_by_watermark"],
+                     "max_state_rows": u["max_state_rows"],
+                     "digest": u["session_set_digest"]},
+            "bucket": {"events_per_sec": b["events_per_sec"],
+                       "stream_wall_sec": b["stream_wall_sec"],
+                       "closed_sessions": b["closed_sessions"],
+                       "dropped_by_watermark": b["dropped_by_watermark"],
+                       "max_state_rows": b["max_state_rows"],
+                       "digest": b["session_set_digest"]},
+            "speedup": round(u["stream_wall_sec"]
+                             / max(b["stream_wall_sec"], 1e-9), 2),
+        }
+        checks[f"{name}_sessions_identical"] = (
+            u["session_set_digest"] == b["session_set_digest"])
+        checks[f"{name}_drops_identical"] = (
+            u["dropped_by_watermark"] == b["dropped_by_watermark"])
+    res["checks"] = checks
+    res["all_ok"] = all(checks.values())
+    res["min_speedup"] = min(o["speedup"] for o in res["orders"].values())
+    res["adopt"] = res["all_ok"] and res["min_speedup"] >= 2.0
+    return res
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_users = int(args[0]) if len(args) > 0 else 100_000
@@ -237,7 +313,9 @@ def main() -> None:
 
     spark = get_spark(app="stream-state-scale", cores=CPUS,
                       shuffle_partitions=CPUS, driver_mem="12g")
-    if disorder:
+    if "--bucketed-ab" in sys.argv:
+        out = run_bucketed_ab(spark, n_users, n_events, n_slots)
+    elif disorder:
         out = run_disorder_sweep(spark, n_users, n_events, n_slots)
     else:
         out = run_state_scale(spark, n_users, n_events, n_slots)
