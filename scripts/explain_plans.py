@@ -481,6 +481,57 @@ def main() -> None:
         _sh.rmtree(seq_dir, ignore_errors=True)
         _sh.rmtree(_os.path.dirname(out_dir), ignore_errors=True)
 
+    # 21. IVF-PQ cell compaction (round 8): the staging rewrite must
+    # scan ONLY the picked cells (partition-pruned) and pick up the
+    # per-cell slice counts via a BroadcastHashJoin (no shuffle of the
+    # index rows beyond the one explicit repartition that shapes the
+    # output files)
+    import tempfile as _tf
+
+    cc_path = _tf.mkdtemp(prefix="plans_cc_") + "/idx"
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        h1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+        h2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+        similarity.write_ivf_pq_index(h1, 64, cc_path, n_centroids=8,
+                                      m=8)
+        similarity.append_ivf_pq_index(h2, 64, cc_path)
+        # the same frame compact_ivf_pq_cells stages (similarity.py:
+        # the picked-cells scan + broadcast slices join + explicit
+        # repartition), captured here for the plan evidence
+        picked = [1, 2, 3]
+        live = spark.read.parquet(f"{cc_path}/cells").filter(
+            F.col("cell").isin(picked))
+        slices = spark.createDataFrame(
+            [(j, 2) for j in picked], "cell int, n_slices int")
+        staged = (live.join(F.broadcast(slices), "cell")
+                  .repartition(12, F.col("cell"),
+                               F.pmod(F.xxhash64(F.col("vec_id")),
+                                      F.col("n_slices")))
+                  .drop("n_slices"))
+        p = plan_of(staged)
+        pruned = bool(re.search(
+            r"PartitionFilters: \[[^\]]*cell", p))
+        # count plan NODES (the "(n) Exchange" detail headers), not raw
+        # substrings — the formatted output prints each node twice
+        # (tree + details) and "BroadcastExchange" contains "Exchange"
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange\s*$", p, re.M))
+        sections.append((
+            "IVF-PQ cell compaction rewrite: picked-cells scan pruned, "
+            "broadcast slices, one explicit exchange",
+            p,
+            ["cell filter reaches the scan as PartitionFilters -> %s"
+             % ("PASS" if pruned else "FAIL"),
+             "slice counts join as BroadcastHashJoin -> %s"
+             % ("PASS" if "BroadcastHashJoin" in p else "FAIL"),
+             "exactly ONE row-data Exchange (the explicit output-file "
+             "repartition; the broadcast side is not a shuffle) -> %s"
+             % ("PASS" if n_exchanges == 1
+                else f"FAIL ({n_exchanges} exchanges)")],
+        ))
+    finally:
+        _sh.rmtree(_os.path.dirname(cc_path), ignore_errors=True)
+
     lines = ["# PLANS — physical-plan evidence for the scale-critical properties\n",
              "Generated by scripts/explain_plans.py (sf0.01 inputs).\n"]
     for title, plan, checks in sections:
