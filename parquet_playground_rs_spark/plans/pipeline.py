@@ -282,7 +282,13 @@ class _JobLock:
         rename it to a breaker-unique name (one rename wins), confirm
         the moved file is the one observed (token match), then drop it.
         A mismatch means a faster breaker already broke-and-recreated —
-        the moved file is a LIVE lock: put it back and refuse."""
+        the moved file is a LIVE lock: put it back and refuse.
+
+        A breaker crash between the rename and the delete leaves a
+        ``job.lock.stale-<token>`` residue file: uniquely named, never
+        read by any path, harmless — deliberately NOT garbage-collected
+        here, because a cleanup pass would race a concurrent breaker's
+        just-claimed rename (deleting a live lock mid-verification)."""
         Path = jvm.org.apache.hadoop.fs.Path
         claimed = Path(f"{self._path}.stale-{self._token}")
         try:
