@@ -14,6 +14,14 @@ The north rule's launch shape: package the engine and submit —
 Re-running the same command after a failure resumes past completed
 buckets (plans/pipeline.py manifests; --resume is implied, the flag just
 documents intent). Works identically on local paths.
+
+A growing corpus appends with `--append` (only new files are planned);
+the same entrypoint runs the maintenance jobs against the output dir:
+
+    ... submit_encode.py --output s3a://bucket/encoded/ --job compact \\
+        [--no-gc] [--gc-min-age-sec 86400] [--target-group-bytes N]
+    ... submit_encode.py --output ... --job vacuum --gc-min-age-sec 86400
+    ... submit_encode.py --output ... --job checkpoint-catalog
 """
 
 from __future__ import annotations
@@ -28,8 +36,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True,
-                    help="parquet dir of (doc_id, tokens, n_tok, source)")
+    ap.add_argument("--input", default=None,
+                    help="parquet dir of (doc_id, tokens, n_tok, source); "
+                         "required for --job encode, unused by the "
+                         "maintenance jobs")
     ap.add_argument("--output", required=True, help="encoded table root")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--chunk-size", type=int, default=16384)
@@ -69,7 +79,44 @@ def main() -> None:
                     help="parquet statistics granularity (reference E5 enum)")
     ap.add_argument("--resume", action="store_true",
                     help="documentational; resume is always on")
+    ap.add_argument("--append", action="store_true",
+                    help="[files scope] extend the catalog with newly-"
+                         "arrived input files only (committed files "
+                         "keep their buckets); without it, new files "
+                         "refuse loudly")
+    ap.add_argument("--job",
+                    choices=["encode", "compact", "vacuum",
+                             "checkpoint-catalog"],
+                    default="encode",
+                    help="maintenance entry points on the same output "
+                         "dir: 'compact' merges accreted small commit "
+                         "groups (supersedes protocol), 'vacuum' "
+                         "reclaims deferred superseded pairs, "
+                         "'checkpoint-catalog' folds loose catalog "
+                         "version files into one checkpoint")
+    ap.add_argument("--gc-min-age-sec", type=float, default=0.0,
+                    help="superseded-group retention (Iceberg "
+                         "expire_snapshots(older_than) semantics): "
+                         "pairs whose replacement published less than "
+                         "this many seconds ago survive every writer's "
+                         "GC pass; set the SAME value on all jobs "
+                         "against the dir")
+    ap.add_argument("--no-gc", action="store_true",
+                    help="[compact] defer superseded-pair deletion "
+                         "entirely (reclaim later with --job vacuum)")
+    ap.add_argument("--target-group-bytes", type=int, default=1 << 30,
+                    help="[compact] merged commit-group output size")
+    ap.add_argument("--catalog-checkpoint-after", type=int, default=32,
+                    help="auto-fold the catalog once more than this "
+                         "many loose version files accrete (0 disables "
+                         "via a negative sentinel; see "
+                         "checkpoint_catalog)")
+    ap.add_argument("--lock-lease-sec", type=float, default=60.0,
+                    help="single-writer job-lock lease; a crashed "
+                         "writer's lock is breakable after this")
     args = ap.parse_args()
+    if args.job == "encode" and args.input is None:
+        ap.error("--input is required for --job encode")
 
     from pyspark.sql import SparkSession
 
@@ -79,6 +126,23 @@ def main() -> None:
     # under spark-submit the session is configured by the submit command;
     # getOrCreate attaches to it (local runs fall back to defaults)
     spark = SparkSession.builder.appName("encode-job").getOrCreate()
+    if args.job != "encode":
+        if args.job == "compact":
+            summary = pl.compact_encoded_job(
+                spark, args.output,
+                target_group_output_bytes=args.target_group_bytes,
+                statistics=args.statistics, gc=not args.no_gc,
+                gc_min_age_sec=args.gc_min_age_sec,
+                lock_lease_sec=args.lock_lease_sec)
+        elif args.job == "vacuum":
+            summary = {"superseded_groups_collected": pl.vacuum_encoded(
+                spark, args.output, min_age_sec=args.gc_min_age_sec,
+                lock_lease_sec=args.lock_lease_sec)}
+        else:
+            summary = pl.checkpoint_catalog(
+                spark, args.output, lock_lease_sec=args.lock_lease_sec)
+        print(json.dumps(summary))
+        return
     src = spark.read.parquet(args.input)
     if args.scope == "files":
         summary = pl.run_encode_job_files(
@@ -86,7 +150,11 @@ def main() -> None:
             chunk_size=args.chunk_size,
             buckets_per_commit=args.buckets_per_commit,
             statistics=args.statistics,
-            concurrent_commits=args.concurrent_commits)
+            concurrent_commits=args.concurrent_commits,
+            append=args.append,
+            gc_min_age_sec=args.gc_min_age_sec,
+            catalog_checkpoint_after=args.catalog_checkpoint_after,
+            lock_lease_sec=args.lock_lease_sec)
     else:
         summary = pl.run_encode_job(
             spark, src, args.output, n_buckets=args.buckets,
