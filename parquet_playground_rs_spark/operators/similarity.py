@@ -1256,7 +1256,12 @@ def compact_ivf_pq_cells(spark, path: str,
     rows); a crash inside the window persists that state only until
     the next maintenance or append job recovers it — acceptable for
     ANN search and called out here, same as the append's mid-publish
-    subset visibility.
+    subset visibility. A reader that LISTED files before the swap and
+    opens them after gets FileNotFound for the moved files (renames,
+    not copies; the encode pipeline's manifest-driven snapshot reads
+    don't apply because `ivf_pq_query` reads the cells dir directly) —
+    run compaction in a maintenance window, or tolerate a query retry,
+    where that matters.
 
     Returns ``{"cells_compacted", "files_before", "files_after",
     "recovered_swaps"}``."""
