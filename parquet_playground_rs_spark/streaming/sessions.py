@@ -263,7 +263,12 @@ def _sessionize_bucket_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
             state.remove()
 
     if state.hasTimedOut:
-        expired = (lasts0 + gap_sec) <= wm
+        # STRICT comparison (round-9 ADVICE): the per-user operator
+        # continues a session at ts - last == gap and Spark timers fire
+        # only when the watermark strictly passes the deadline, so a
+        # tail expires only when last + gap < wm — <= would split, at
+        # the exact boundary, a session the per-user reference keeps.
+        expired = (lasts0 + gap_sec) < wm
         save(~expired)
         if expired.any():
             yield _tails_frame(uids0, starts0, lasts0, ns0, sums0,
@@ -273,8 +278,9 @@ def _sessionize_bucket_group(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     frames = []
     # inline close of expired tails (see module comment: their per-user
     # timers would fire this batch, but data on this bucket suppresses
-    # the bucket timer)
-    expired = (lasts0 + gap_sec) <= wm
+    # the bucket timer); STRICT < matches the per-user timer rule (see
+    # the timed-out branch above)
+    expired = (lasts0 + gap_sec) < wm
     if expired.any():
         frames.append(_tails_frame(uids0, starts0, lasts0, ns0, sums0,
                                    expired))

@@ -90,31 +90,41 @@ def run_state_scale(spark, n_users: int, n_events: int,
     out_dir = tempfile.mkdtemp(prefix="spark_graft_state_scale_out_")
     t_gen = time.time()
     base_mtime = int(os.stat(in_dir).st_mtime)
-    for s in range(n_slots):
-        # users active this window: u % rot == s % rot; their k-th event
-        # sits k*17 s into the window (17 << GAP keeps one session)
-        df = (spark.range(per_slot)
-              .select(
-                  (F.col("id") + s * per_slot).alias("event_id"),
-                  ((F.col("id") % (n_users // rot)) * rot
-                   + (s % rot)).alias("user_id"),
-                  F.lit("evt").alias("event_type"),
-                  F.to_timestamp(F.lit(BASE_TS) + s * slot_span
-                                 + F.floor(F.col("id") / (n_users // rot)) * 17)
-                  .alias("ts"),
-                  (F.col("id") % 97).cast("double").alias("value"),
-                  F.lit("{}").alias("props"),
-              ))
-        tmp = tempfile.mkdtemp(prefix="spark_graft_state_scale_tmp_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(p for p in sorted(os.listdir(tmp))
-                   if p.endswith(".parquet"))
+    # ONE Spark job for all windows (round 9: the previous one-job-per-
+    # window loop cost n_slots fixed job overheads — 6 s of the bench's
+    # 43 s streaming wall was generation). spark.range splits its id
+    # space into numPartitions CONTIGUOUS runs, so partition s holds
+    # exactly ids [s*per_slot, (s+1)*per_slot) == window s — each task
+    # writes one file, no shuffle, rows identical to the per-window
+    # formulation: users active in window s are u % rot == s % rot, the
+    # k-th event sits k*17 s into the window (17 << GAP keeps one
+    # session).
+    i = F.col("id")
+    s_col = F.floor(i / per_slot).cast("long")
+    j = i - s_col * per_slot  # within-window index
+    (spark.range(n_slots * per_slot, numPartitions=n_slots)
+     .select(
+         i.alias("event_id"),
+         ((j % (n_users // rot)) * rot + (s_col % rot)).alias("user_id"),
+         F.lit("evt").alias("event_type"),
+         F.to_timestamp(F.lit(BASE_TS) + s_col * slot_span
+                        + F.floor(j / (n_users // rot)) * 17).alias("ts"),
+         (j % 97).cast("double").alias("value"),
+         F.lit("{}").alias("props"),
+     )
+     .write.mode("overwrite").parquet(in_dir))
+    parts = sorted(p for p in os.listdir(in_dir) if p.endswith(".parquet"))
+    assert len(parts) == n_slots, (len(parts), n_slots)
+    for s, part in enumerate(parts):  # task order == window order
         dst = os.path.join(in_dir, f"w{s:03d}.parquet")
-        shutil.move(os.path.join(tmp, src), dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.move(os.path.join(in_dir, part), dst)
         # delivery position, not window id, drives the replay order
         pos = order.index(s)
         os.utime(dst, (base_mtime + pos * 10, base_mtime + pos * 10))
+    for extra in ("_SUCCESS",):
+        p = os.path.join(in_dir, extra)
+        if os.path.exists(p):
+            os.remove(p)
     gen_sec = time.time() - t_gen
 
     # recentProgress is capped by this conf (default 100): cover every
