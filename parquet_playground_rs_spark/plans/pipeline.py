@@ -767,8 +767,33 @@ FILE_COMMIT_REPARTITION = False
 
 # Target bytes per scan task inside a file-scope commit group; None
 # leaves Spark's bytes-per-core split (fine-grained). Swept at the
-# 8M-row rehearsal — see BENCH/BASELINE.md round 5.
+# 8M-row rehearsal — see BENCH/BASELINE.md round 5. Round 9: this is
+# the CAP; the effective per-run target is derived from the pending
+# bytes so the concurrently-committing groups still produce at least
+# ~2 tasks per core (see _effective_scan_target) — a fixed 32 MB left
+# 8 groups x 3 fat tasks = 24 tasks on 32 cores at bench scale
+# (measured 9.2 -> 7.7 s), while at rehearsal scale the derived value
+# hits the cap and the swept behavior is unchanged.
 FILE_COMMIT_TARGET_PARTITION_BYTES: int | None = 32 << 20
+
+# Floor for the derived scan-task target: below this, python-worker
+# round-trip overhead dominates (the round-5 "213 tiny mapInArrow
+# tasks" failure mode).
+FILE_COMMIT_MIN_PARTITION_BYTES = 4 << 20
+
+
+def _effective_scan_target(spark, total_pending_bytes: int) -> int | None:
+    """Scan-task byte target for this run's commit groups: enough tasks
+    that the groups IN FLIGHT saturate the executor about twice over
+    (tail-filling), floored against sliver tasks and capped at the
+    rehearsal-swept constant. Pure arithmetic over the catalog's file
+    sizes — no extra driver RPCs."""
+    if not FILE_COMMIT_TARGET_PARTITION_BYTES:
+        return None
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    derived = -(-total_pending_bytes // (2 * cores))
+    return max(FILE_COMMIT_MIN_PARTITION_BYTES,
+               min(FILE_COMMIT_TARGET_PARTITION_BYTES, derived))
 
 
 def _catalog_fingerprint(buckets: dict[int, list[str]],
@@ -1303,6 +1328,8 @@ def _run_encode_job_files_locked(
         return summary
     group = buckets_per_commit or len(pending)
     groups = [pending[gi: gi + group] for gi in range(0, len(pending), group)]
+    scan_target = _effective_scan_target(
+        spark, sum(sizes.get(f, 0) for b in pending for f in buckets[b]))
     if concurrent_commits > 1 and len(groups) > 1:
         if fail_after_buckets is not None or \
                 fail_before_manifest_group is not None:
@@ -1319,7 +1346,7 @@ def _run_encode_job_files_locked(
                 job_lock.check()  # abort if the lease protection died
             _process_file_commit_group(spark, buckets, sizes, batch, out,
                                        chunk_size, statistics, summary,
-                                       lock)
+                                       lock, scan_target=scan_target)
 
         with ThreadPoolExecutor(max_workers=concurrent_commits) as ex:
             futs = [ex.submit(_run_group, batch) for batch in groups]
@@ -1335,13 +1362,15 @@ def _run_encode_job_files_locked(
             _process_file_commit_group(
                 spark, buckets, sizes, batch, out, chunk_size, statistics,
                 summary, None,
-                fail_before_manifest=(gi == fail_before_manifest_group))
+                fail_before_manifest=(gi == fail_before_manifest_group),
+                scan_target=scan_target)
     return summary
 
 
 def _process_file_commit_group(spark, buckets, sizes, batch_buckets, out,
                                chunk_size, statistics, summary,
-                               lock, fail_before_manifest=False) -> None:
+                               lock, fail_before_manifest=False,
+                               scan_target: int | None = None) -> None:
     """One commit group of file-scope buckets: scan ONLY the group's
     files, encode, write, manifest.
 
@@ -1402,12 +1431,13 @@ def _process_file_commit_group(spark, buckets, sizes, batch_buckets, out,
         # coalesce back up to FILE_COMMIT_TARGET_PARTITION_BYTES-sized
         # tasks (None = leave Spark's natural split)
         scan = spark.read.parquet(*files)
-        if FILE_COMMIT_TARGET_PARTITION_BYTES:
+        if scan_target is None:
+            scan_target = FILE_COMMIT_TARGET_PARTITION_BYTES
+        if scan_target:
             # sizes come from plan_file_catalog's single listing — no
             # per-file driver RPC here (round-6 judge task 5)
             total_bytes = sum(sizes[f] for f in files)
-            scan = scan.coalesce(max(1, -(-total_bytes //
-                                          FILE_COMMIT_TARGET_PARTITION_BYTES)))
+            scan = scan.coalesce(max(1, -(-total_bytes // scan_target)))
         tagged = (
             scan.withColumn(
                 "_base",

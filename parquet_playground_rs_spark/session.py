@@ -27,6 +27,15 @@ def get_spark(app: str = "parquet_playground_rs_spark", cores: int | None = None
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE may rewrite a planned shuffle join to broadcast when the
+        # RUNTIME-materialized side is below this bound (the static
+        # estimate-based threshold stays at its conservative default).
+        # Decided from actual sizes, this is scale-adaptive by
+        # construction: at corpus scale the sides exceed the bound and
+        # the plan stays a shuffle join. Measured on the round-trip
+        # verify join (1M hashed doc_ids, ~30 MB): 4.1 -> 2.9 s.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AQE_BHJ", "64m"))
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
