@@ -140,8 +140,10 @@ def decode_tokens(encoded: DataFrame, materialize: bool | None = None) -> DataFr
 
     Output: (doc_id string, source string, tokens array<int>, n_tok int)
     """
+    cheap_rescan = None
     if materialize is None:
-        materialize = not (encoded.is_cached or _is_cheap_rescan(encoded))
+        cheap_rescan = encoded.is_cached or _is_cheap_rescan(encoded)
+        materialize = not cheap_rescan
     persisted = None
     if materialize and not encoded.is_cached:
         from pyspark import StorageLevel
@@ -154,6 +156,21 @@ def decode_tokens(encoded: DataFrame, materialize: bool | None = None) -> DataFr
     single = decode_blocks(encoded.filter(F.col("n_chunks") == 1)).select(
         "doc_id", "source", "tokens"
     )
+    # Short-circuit the reassembly branch when the table provably has no
+    # multi-chunk rows (round 9): the pushed n_chunks > 1 predicate makes
+    # the emptiness probe a stats-pruned scan (~0.1 s at bench scale,
+    # metadata-bounded at any scale), where keeping the empty branch
+    # costs a second table scan plus a zero-row shuffle/union every
+    # action (measured 3.9 -> 3.3 s on the round-trip verify,
+    # interleaved A/B). Probed only on cheap-rescan inputs — a composed
+    # (persisted) pipeline keeps the lazy two-branch plan so decode
+    # never forces its upstream at call time.
+    skip_multi = bool(cheap_rescan) and \
+        encoded.filter(F.col("n_chunks") > 1).isEmpty()
+    if skip_multi:
+        out = single.withColumn("n_tok", F.size("tokens").cast("int"))
+        out._persisted_input = None
+        return out
     multi = (
         decode_blocks(encoded.filter(F.col("n_chunks") > 1))
         .groupBy("doc_id", "source")

@@ -32,8 +32,11 @@ def get_spark(app: str = "parquet_playground_rs_spark", cores: int | None = None
         # estimate-based threshold stays at its conservative default).
         # Decided from actual sizes, this is scale-adaptive by
         # construction: at corpus scale the sides exceed the bound and
-        # the plan stays a shuffle join. Measured on the round-trip
-        # verify join (1M hashed doc_ids, ~30 MB): 4.1 -> 2.9 s.
+        # the plan stays a shuffle join. NOTE (round-9 A/B, interleaved):
+        # on the bench queries this moved nothing outside host noise —
+        # the verify join is FULL OUTER, which AQE cannot convert — so
+        # this is a sane-default setting, not a measured win; kept
+        # env-overridable.
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
                 os.environ.get("SPARK_GRAFT_AQE_BHJ", "64m"))
         .config("spark.driver.memory", driver_mem)
