@@ -288,7 +288,23 @@ def verify_encoded(source_df: DataFrame, encoded: DataFrame,
                 F.lit(0)).alias(cs_name),
         )
 
-    s = side(split_skew(source_df, chunk_size), "n_source", "_cs")
+    # Source-side chunk grid: when no document exceeds chunk_size, every
+    # row IS its own single chunk, so the posexplode re-derivation (a
+    # JVM Generate copy of the whole token stream) reduces to a literal
+    # (chunk_idx=0, n_chunks=1) projection. The probe's n_tok predicate
+    # pushes to the parquet scan (NULL n_tok rows conservatively defeat
+    # the shortcut — split_skew recomputes those from the array); probed
+    # only on cheap-rescan inputs, same contract as decode_tokens'
+    # reassembly short-circuit.
+    src = source_df
+    fast_grid = _is_cheap_rescan(src) and src.filter(
+        (F.col("n_tok") > chunk_size) | F.col("n_tok").isNull()).isEmpty()
+    if fast_grid:
+        chunked_src = src.select(
+            "doc_id", F.lit(0).cast("int").alias("chunk_idx"), "tokens")
+    else:
+        chunked_src = split_skew(src, chunk_size)
+    s = side(chunked_src, "n_source", "_cs")
     d = side(decode_blocks(encoded), "n_decoded", "_cd")
     return s.crossJoin(d).select(
         F.col("n_source").cast("long").alias("n_source"),

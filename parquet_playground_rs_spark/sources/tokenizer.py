@@ -71,7 +71,14 @@ def build_vocab(docs: DataFrame, num_partitions: int | None = None,
         num_partitions = (vocab_partitions_for(est_distinct_words)
                           if est_distinct_words else 32)
 
-    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).distinct()
+    # The distinct-word set is computed once and persisted: the range
+    # partitioner's boundary SAMPLING job and the range shuffle both
+    # consume it, and without the persist each re-ran the full corpus
+    # explode+distinct (round 9; the set is vocab-sized — tiny next to
+    # the corpus, same justification as `local` below).
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     ranged = words.repartitionByRange(num_partitions, "word") \
         .withColumn("pid", F.spark_partition_id())
     lw = Window.partitionBy("pid").orderBy("word")
@@ -79,6 +86,9 @@ def build_vocab(docs: DataFrame, num_partitions: int | None = None,
         .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = {r["pid"]: r["cnt"]
              for r in local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    # `local` is fully materialized by the collect above; the upstream
+    # distinct-word cache has served both its consumers and is released.
+    words.unpersist()
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(sizes):  # ascending pid == ascending word range
