@@ -1249,6 +1249,31 @@ def _recover_cell_swap(spark, path: str) -> int:
     return finished
 
 
+def _maybe_recover_cell_swap(spark, path: str,
+                             lock_lease_sec: float = 60.0) -> int:
+    """Reader-side bound on the crashed-compaction window (round-9
+    ADVICE): when the swap journal exists, acquire the single-writer
+    lock and roll the journaled swaps forward (idempotent — the same
+    recovery append/compact run on entry). When the lock is held, a
+    LIVE writer owns the swap and finishes it itself — return without
+    recovering. No journal (the overwhelmingly common case) costs one
+    FS existence probe."""
+    from ..plans.pipeline import _JobLock, _hadoop_fs
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(Path(path, _CELL_SWAP_NAME)):
+        return 0
+    try:
+        lock = _JobLock(spark, path, lease_sec=lock_lease_sec).acquire()
+    except Exception:
+        return 0  # live writer mid-swap; it completes the publish
+    try:
+        return _recover_cell_swap(spark, path)
+    finally:
+        lock.release()
+
+
 def compact_ivf_pq_cells(spark, path: str,
                          max_files_per_cell: int = 1,
                          target_file_bytes: int = 128 << 20,
@@ -1492,6 +1517,16 @@ def ivf_pq_query(queries: DataFrame, dim: int,
     # columns. The stored refine floats may be float32 (write-side
     # unit_dtype) — up-cast AFTER the scan so the refine dot runs in
     # float64 while the scan pays only 4*dim bytes/row.
+    # Bound the crashed-compaction window (round-9 ADVICE, medium): a
+    # compactor that died mid-swap leaves a journaled, verified staged
+    # cell with the live dir moved aside; previously only the NEXT
+    # append/compact job rolled it forward, so a read-mostly deployment
+    # could silently miss that cell's vectors indefinitely. The query
+    # path now checks for the swap journal (one cheap existence probe)
+    # and, when present, takes the writer lock and runs the idempotent
+    # roll-forward itself; if the lock is live, an active writer owns
+    # the swap and will finish it — proceed as before.
+    _maybe_recover_cell_swap(spark, path)
     cells_src = spark.read.parquet(f"{path}/cells")
     if dict(cells_src.dtypes)["unit"] == "array<float>":
         refine_src = cells_src.withColumn(

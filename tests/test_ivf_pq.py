@@ -585,6 +585,32 @@ def test_cell_compact_crash_mid_swap_rolls_forward(spark, emb, tmp_path):
     assert _query_rows(spark, emb, path) == before
 
 
+def test_cell_compact_crash_recovered_by_query(spark, emb, tmp_path):
+    """Round-9 ADVICE (medium): the crashed-swap window must be bounded
+    on READ-MOSTLY deployments too — a plain ivf_pq_query finding the
+    swap journal rolls the swap forward itself (under the writer lock)
+    and returns results identical to pre-compaction, with no
+    maintenance or append job in between."""
+    import os
+
+    path = str(tmp_path / "idx_cc_qrecover")
+    _grown_index(spark, emb, path)
+    before = _query_rows(spark, emb, path)
+    n0 = spark.read.parquet(f"{path}/cells").count()
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        similarity.compact_ivf_pq_cells(spark, path, fail_mid_swap=True)
+    assert os.path.exists(f"{path}/_CELL_SWAP.json")
+    assert spark.read.parquet(f"{path}/cells").count() < n0
+    # the QUERY itself recovers: journal gone, cells restored, rows
+    # identical — no append/compact ran
+    assert _query_rows(spark, emb, path) == before
+    assert not os.path.exists(f"{path}/_CELL_SWAP.json")
+    assert spark.read.parquet(f"{path}/cells").count() == n0
+    # and the writer lock was released (a maintenance job can run)
+    s = similarity.compact_ivf_pq_cells(spark, path)
+    assert max(_cell_file_counts(path).values()) == 1
+
+
 def test_cell_compact_crash_between_swaps_and_slicing(spark, emb,
                                                       tmp_path):
     """A crash BETWEEN cell swaps resumes via recovery on the next
